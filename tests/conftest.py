@@ -1,0 +1,39 @@
+"""Test configuration: force JAX onto a virtual 8-device CPU platform.
+
+Multi-chip sharding is validated without TPU hardware by simulating 8 XLA
+host devices (the JAX-native answer to "multi-node tests without a cluster";
+SURVEY.md §4).  Must run before the first `import jax` anywhere in the test
+session, hence the environment mutation at conftest import time.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+
+FIXTURE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+
+
+@pytest.fixture(scope="session")
+def overfitting_json():
+    import json
+
+    with open(os.path.join(FIXTURE_DIR, "overfitting.json")) as f:
+        return json.load(f)
+
+
+@pytest.fixture(scope="session")
+def encoder(overfitting_json):
+    from situation_recognition_tpu.data.encoder import ImsituEncoder
+
+    return ImsituEncoder(overfitting_json, verbose=False)
