@@ -1,0 +1,130 @@
+"""Gated Graph Neural Network propagation over the imSitu role graph.
+
+TPU-first redesign of the reference GGSNN (``/root/reference/model.py:38-86``).
+The reference materializes a per-example (N, N) adjacency on the host each
+step and computes ``n_i = sum_j A_ij (W_p h_j + b_p)`` via an expanded
+(B, N, N, D) tensor.  Because the imSitu adjacency is structurally
+``A = m m^T - diag(m) + diag(1-m)`` for the binary role mask ``m`` (real roles
+fully connected without self-loops; pad roles self-loop only,
+imsitu_encoder.py:209-229), the adjacency contraction collapses to a masked
+sum — no adjacency tensor, no batched tiny matmuls, pure VPU work:
+
+    p_j = W_p h_j + b_p
+    s   = sum_j m_j p_j
+    n_i = m_i ? (s - p_i) : p_i
+
+Note the reference applies ``W_p``'s bias *before* the adjacency sum, so a
+real node's bias contribution scales with its degree (count-1); the masked
+form reproduces this exactly.
+
+The GRU-style update (model.py:80-84) is unchanged mathematically:
+
+    z = sigmoid(n W_z + b_wz + h U_z + b_uz)
+    r = sigmoid(n W_r + b_wr + h U_r + b_ur)
+    c = tanh   (n W_h + b_wh + (r*h) U_h + b_uh)
+    h' = (1-z) h + z c
+
+Three interchangeable implementations (differentially tested):
+* ``ggnn_propagate``        — masked-sum formulation (default, fastest)
+* ``ggnn_propagate_dense``  — explicit adjacency einsum (oracle / parity)
+* ``ops.ggnn_pallas``       — fused Pallas TPU kernel (see that module)
+
+Weights are stored (D_in, D_out) for ``x @ W`` (JAX convention; the torch
+checkpoint converter transposes).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class GGNNParams(NamedTuple):
+    """The 7 dense layers of the reference GGSNN (model.py:46-56)."""
+
+    w_p: jax.Array
+    b_p: jax.Array
+    w_z: jax.Array
+    b_wz: jax.Array
+    u_z: jax.Array
+    b_uz: jax.Array
+    w_r: jax.Array
+    b_wr: jax.Array
+    u_r: jax.Array
+    b_ur: jax.Array
+    w_h: jax.Array
+    b_wh: jax.Array
+    u_h: jax.Array
+    b_uh: jax.Array
+
+
+def init_ggnn_params(key: jax.Array, d: int, dtype=jnp.float32) -> GGNNParams:
+    """torch.nn.Linear default init: U(-1/sqrt(d_in), 1/sqrt(d_in)) for both
+    weight and bias (same scheme the reference trains from)."""
+    bound = 1.0 / np.sqrt(d)
+    keys = jax.random.split(key, 14)
+    def u(k, shape):
+        return jax.random.uniform(k, shape, dtype, -bound, bound)
+    ws = [u(keys[2 * i], (d, d)) for i in range(7)]
+    bs = [u(keys[2 * i + 1], (d,)) for i in range(7)]
+    return GGNNParams(
+        ws[0], bs[0], ws[1], bs[1], ws[2], bs[2], ws[3], bs[3],
+        ws[4], bs[4], ws[5], bs[5], ws[6], bs[6])
+
+
+def _gru_update(p: GGNNParams, n: jax.Array, h: jax.Array) -> jax.Array:
+    """The gated update shared by all formulations. n, h: (..., D)."""
+    z = jax.nn.sigmoid(n @ p.w_z + p.b_wz + h @ p.u_z + p.b_uz)
+    r = jax.nn.sigmoid(n @ p.w_r + p.b_wr + h @ p.u_r + p.b_ur)
+    c = jnp.tanh(n @ p.w_h + p.b_wh + (r * h) @ p.u_h + p.b_uh)
+    return (1.0 - z) * h + z * c
+
+
+def ggnn_propagate(
+    params: GGNNParams,
+    hidden: jax.Array,   # (B, N, D) node states
+    mask: jax.Array,     # (B, N) binary role mask (1 = real role)
+    num_steps: int = 4,
+) -> jax.Array:
+    """Masked-sum GGNN propagation, ``num_steps`` unrolled (static)."""
+    mask = mask.astype(hidden.dtype)[..., None]          # (B, N, 1)
+    h = hidden
+    for _ in range(num_steps):
+        p = h @ params.w_p + params.b_p                   # (B, N, D)
+        s = jnp.sum(mask * p, axis=1, keepdims=True)      # (B, 1, D)
+        n = jnp.where(mask > 0, s - p, p)                 # (B, N, D)
+        h = _gru_update(params, n, h)
+    return h
+
+
+def ggnn_propagate_dense(
+    params: GGNNParams,
+    hidden: jax.Array,   # (B, N, D)
+    adjacency: jax.Array,  # (B, N, N) — reference get_adj_matrix_noself output
+    num_steps: int = 4,
+) -> jax.Array:
+    """Reference formulation with an explicit adjacency contraction
+    (model.py:66-77).  Kept as the parity oracle for the masked form."""
+    h = hidden
+    adjacency = adjacency.astype(hidden.dtype)
+    for _ in range(num_steps):
+        p = h @ params.w_p + params.b_p
+        n = jnp.einsum("bij,bjd->bid", adjacency, p)
+        h = _gru_update(params, n, h)
+    return h
+
+
+def ggnn_propagate_verb(
+    params: GGNNParams,
+    hidden: jax.Array,   # (B, D) single-node graphs
+    num_steps: int = 4,
+) -> jax.Array:
+    """Verb branch: one node, self-message only (model.py:62-64)."""
+    h = hidden
+    for _ in range(num_steps):
+        n = h @ params.w_p + params.b_p
+        h = _gru_update(params, n, h)
+    return h
