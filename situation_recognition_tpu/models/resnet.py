@@ -1,0 +1,117 @@
+"""ResNet v1.5 backbones in flax, NHWC, lowered to XLA convolutions on the MXU.
+
+TPU-native replacement for the reference's torchvision ResNet-152 feature
+extractor (``/root/reference/model.py:8-35``): the reference freezes all
+backbone params and replaces ``fc`` with Identity, returning 2048-d pooled
+features.  Here the backbone is a standalone flax module returning pooled
+features directly (no fc at all); weights come from the torchvision
+checkpoint via ``tools/convert_torch.py``.
+
+Faithfulness notes:
+
+* torchvision's Bottleneck is v1.5 — the stride sits on the 3x3 conv — and BN
+  uses eps 1e-5, momentum 0.1 (flax momentum 0.9).
+* The reference calls ``model.train()`` during training, so its "frozen"
+  backbone still normalizes with **batch** statistics and updates running
+  stats; only the affine/conv params are frozen.  ``train=True`` reproduces
+  that (mutable ``batch_stats``); ``train=False`` uses running averages like
+  the reference's ``model.eval()``.
+* Layout is NHWC (TPU-preferred); the converter transposes torch's NCHW/OIHW.
+* Module names mirror torchvision keys (``layer3_17 / conv2 / bn2``) so the
+  converter is a mechanical rename.
+
+Compute dtype: pass ``dtype=jnp.bfloat16`` for MXU-friendly mixed precision
+(params stay fp32; flax casts per-op), mirroring the reference's AMP autocast
+(model.py:33-35) without loss scaling (unneeded on TPU — documented
+divergence).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class Bottleneck(nn.Module):
+    """torchvision-style bottleneck block (expansion 4, stride on the 3x3)."""
+
+    features: int
+    strides: int = 1
+    has_downsample: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        conv = partial(nn.Conv, use_bias=False, dtype=self.dtype)
+        bn = partial(
+            nn.BatchNorm, use_running_average=not train,
+            momentum=0.9, epsilon=1e-5, dtype=self.dtype)
+
+        residual = x
+        y = conv(self.features, (1, 1), name="conv1")(x)
+        y = bn(name="bn1")(y)
+        y = nn.relu(y)
+        y = conv(self.features, (3, 3), strides=(self.strides, self.strides),
+                 padding=[(1, 1), (1, 1)], name="conv2")(y)
+        y = bn(name="bn2")(y)
+        y = nn.relu(y)
+        y = conv(self.features * 4, (1, 1), name="conv3")(y)
+        y = bn(name="bn3")(y)
+
+        if self.has_downsample:
+            residual = conv(self.features * 4, (1, 1),
+                            strides=(self.strides, self.strides),
+                            name="downsample_conv")(x)
+            residual = bn(name="downsample_bn")(residual)
+
+        return nn.relu(y + residual)
+
+
+class ResNet(nn.Module):
+    """ResNet v1.5 returning (B, 2048) pooled features (fc-less, like the
+    reference's Identity-fc backbone)."""
+
+    stage_sizes: Sequence[int]
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x.astype(self.dtype)
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
+        x = nn.relu(x)
+        # torch MaxPool2d(kernel=3, stride=2, padding=1)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+
+        features = 64
+        for stage, num_blocks in enumerate(self.stage_sizes):
+            for block in range(num_blocks):
+                strides = 2 if (stage > 0 and block == 0) else 1
+                x = Bottleneck(
+                    features=features,
+                    strides=strides,
+                    has_downsample=(block == 0),
+                    dtype=self.dtype,
+                    name=f"layer{stage + 1}_{block}",
+                )(x, train=train)
+            features *= 2
+
+        # global average pool == torch AdaptiveAvgPool2d(1) + flatten
+        return jnp.mean(x, axis=(1, 2))
+
+
+def resnet50(dtype=jnp.float32) -> ResNet:
+    return ResNet(stage_sizes=(3, 4, 6, 3), dtype=dtype)
+
+
+def resnet101(dtype=jnp.float32) -> ResNet:
+    return ResNet(stage_sizes=(3, 4, 23, 3), dtype=dtype)
+
+
+def resnet152(dtype=jnp.float32) -> ResNet:
+    return ResNet(stage_sizes=(3, 8, 36, 3), dtype=dtype)

@@ -1,0 +1,146 @@
+"""torch → JAX weight conversion.
+
+Converts (a) torchvision-style ResNet ``state_dict``s to the flax parameter /
+batch-stats trees of ``models/resnet.py``, and (b) full reference checkpoints
+(``/root/reference/sr.py:145-162``: ``{'model_state_dict': ...}`` with
+``convnet_{verbs,nouns}.model.*``, ``role_emb``, ``verb_emb``, ``ggsnn.*``,
+``{verb,nouns}_classifier.1.*`` keys) to this framework's
+``(backbone_params, head_params)`` trees.
+
+Layout transforms:
+* conv weight  torch (O, I, kH, kW) → flax (kH, kW, I, O)
+* linear weight torch (O, I)        → flax kernel (I, O)
+* BatchNorm: weight/bias → scale/bias (params); running_mean/var → mean/var
+  (batch_stats)
+
+Everything operates on mappings of numpy arrays; ``torch.load`` is only
+touched in ``load_torch_file`` so the converter stays usable without torch.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Mapping, Tuple
+
+import numpy as np
+
+
+def load_torch_file(path: str) -> Dict[str, np.ndarray]:
+    """Load a .pth/.pt file into a flat dict of numpy arrays."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "model_state_dict" in obj:
+        obj = obj["model_state_dict"]
+    return {k: np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+            for k, v in obj.items()}
+
+
+def _conv(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def _linear(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (1, 0))
+
+
+def convert_resnet(
+    state: Mapping[str, np.ndarray], prefix: str = ""
+) -> Tuple[dict, dict]:
+    """torchvision ResNet state_dict → (params, batch_stats) flax trees.
+
+    ``prefix`` strips a leading path (e.g. ``"convnet_nouns.model."`` for the
+    reference checkpoint layout, model.py:16).  ``fc.*`` keys are ignored —
+    the reference replaces fc with Identity (model.py:31) and our backbone is
+    fc-less.
+    """
+    params: dict = {}
+    stats: dict = {}
+
+    def put(tree, path, leaf):
+        node = tree
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = leaf
+
+    def bn(dst_path, src):
+        put(params, dst_path + ("scale",), state[src + ".weight"])
+        put(params, dst_path + ("bias",), state[src + ".bias"])
+        put(stats, dst_path + ("mean",), state[src + ".running_mean"])
+        put(stats, dst_path + ("var",), state[src + ".running_var"])
+
+    p = prefix
+    put(params, ("conv1", "kernel"), _conv(state[p + "conv1.weight"]))
+    bn(("bn1",), p + "bn1")
+
+    layer_re = re.compile(re.escape(p) + r"layer(\d+)\.(\d+)\.conv1\.weight$")
+    blocks = sorted(
+        {(int(m.group(1)), int(m.group(2)))
+         for k in state if (m := layer_re.match(k))})
+    if not blocks:
+        raise ValueError(f"no ResNet layers found under prefix {prefix!r}")
+
+    for stage, block in blocks:
+        src = f"{p}layer{stage}.{block}"
+        dst = f"layer{stage}_{block}"
+        for c in (1, 2, 3):
+            put(params, (dst, f"conv{c}", "kernel"),
+                _conv(state[f"{src}.conv{c}.weight"]))
+            bn((dst, f"bn{c}"), f"{src}.bn{c}")
+        if f"{src}.downsample.0.weight" in state:
+            put(params, (dst, "downsample_conv", "kernel"),
+                _conv(state[f"{src}.downsample.0.weight"]))
+            bn((dst, "downsample_bn"), f"{src}.downsample.1")
+
+    return params, stats
+
+
+def convert_reference_checkpoint(
+    state: Mapping[str, np.ndarray],
+    check_backbones_equal: bool = True,
+) -> Tuple[dict, dict, dict]:
+    """Full reference FCGGNN checkpoint → (backbone_params, backbone_stats,
+    head_params).
+
+    The backbone comes from ``convnet_nouns`` (the reference's two convnets
+    are frozen identical copies, model.py:100-101); if
+    ``check_backbones_equal`` both copies are compared and a mismatch raises
+    (a divergent checkpoint would need ``share_backbone=False``, which this
+    framework does not need for any published reference checkpoint).
+    """
+    if check_backbones_equal:
+        for k in state:
+            if k.startswith("convnet_nouns."):
+                twin = "convnet_verbs." + k[len("convnet_nouns."):]
+                if twin in state and not np.array_equal(state[k], state[twin]):
+                    if "num_batches_tracked" in k:
+                        continue
+                    raise ValueError(
+                        f"backbone copies diverge at {k}; cannot share backbone")
+
+    backbone_params, backbone_stats = convert_resnet(
+        state, prefix="convnet_nouns.model.")
+
+    g = {}
+    for ours, theirs in [
+        ("w_p", "W_p"), ("w_z", "W_z"), ("u_z", "U_z"),
+        ("w_r", "W_r"), ("u_r", "U_r"), ("w_h", "W_h"), ("u_h", "U_h"),
+    ]:
+        g[ours] = _linear(state[f"ggsnn.{theirs}.weight"])
+        g["b_" + ours] = state[f"ggsnn.{theirs}.bias"]
+
+    head_params = {
+        "role_emb": state["role_emb.weight"],
+        "verb_emb": state["verb_emb.weight"],
+        "ggnn": g,
+        # reference classifiers are Sequential(Dropout, Linear) → index 1
+        "verb_classifier": {
+            "kernel": _linear(state["verb_classifier.1.weight"]),
+            "bias": state["verb_classifier.1.bias"],
+        },
+        "nouns_classifier": {
+            "kernel": _linear(state["nouns_classifier.1.weight"]),
+            "bias": state["nouns_classifier.1.bias"],
+        },
+    }
+    return backbone_params, backbone_stats, head_params
