@@ -1,0 +1,188 @@
+"""imSitu dataset + prefetching host loader.
+
+Replaces the reference's ``torch.utils.data.Dataset``/``DataLoader`` stack
+(``/root/reference/utils/imsitu_loader.py``, ``sr.py:450-463``).  Differences
+by design:
+
+* Annotations are encoded **once** at construction into dense arrays
+  (verbs (N,), labels (N, 3, R)) — the reference re-runs ``encoder.encode``
+  per ``__getitem__`` every epoch.
+* Workers are threads (PIL decode releases the GIL) feeding a bounded queue;
+  batches are whole uint8 arrays ready for a single ``device_put``, not
+  per-image tensors gathered by pinned-memory copies.
+* Augmentation randomness is deterministic: crop offsets and flip bits come
+  from ``np.random.Generator`` seeded with (seed, epoch, index).
+* The device-side part of preprocessing (resize/flip/normalize) happens
+  inside the jitted step — see ``transforms.device_transform``.
+
+A batch is a dict: ``names`` list[str], ``images`` (B, 256, 256, 3) uint8,
+``verbs`` (B,) int32, ``labels`` (B, 3, R) int32, ``flip`` (B,) bool.
+The final partial batch is yielded at its true size (padding/masking is the
+training loop's concern, keeping metric parity exact).
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from situation_recognition_tpu.data.encoder import ImsituEncoder
+from situation_recognition_tpu.data.transforms import host_window
+
+
+def _decode_image(path: str) -> np.ndarray:
+    from PIL import Image
+
+    with Image.open(path) as im:
+        return np.asarray(im.convert("RGB"))
+
+
+class ImsituDataset:
+    """Decoded-on-demand imSitu dataset with pre-encoded annotations."""
+
+    def __init__(self, img_dir: str, annotations: Dict[str, dict],
+                 encoder: ImsituEncoder, train: bool):
+        self.img_dir = img_dir
+        self.encoder = encoder
+        self.train = train
+        self.names: List[str] = list(annotations.keys())
+        n = len(self.names)
+        self.verbs = np.zeros((n,), dtype=np.int32)
+        self.labels = np.zeros((n, 3, encoder.max_role_count), dtype=np.int32)
+        for i, name in enumerate(self.names):
+            v, l = encoder.encode(annotations[name])
+            self.verbs[i] = v
+            self.labels[i] = l
+        self._decoded_cache: Optional[dict] = None
+
+    def __len__(self) -> int:
+        return len(self.names)
+
+    def enable_decode_cache(self) -> None:
+        """Cache decoded uint8 images in host RAM (bench / small datasets)."""
+        self._decoded_cache = {}
+
+    def load_image(self, idx: int) -> np.ndarray:
+        if self._decoded_cache is not None and idx in self._decoded_cache:
+            return self._decoded_cache[idx]
+        img = _decode_image(os.path.join(self.img_dir, self.names[idx]))
+        if self._decoded_cache is not None:
+            self._decoded_cache[idx] = img
+        return img
+
+    def load_window(self, idx: int, rng: Optional[np.random.Generator]) -> np.ndarray:
+        return host_window(self.load_image(idx), self.train, rng)
+
+
+class ImsituLoader:
+    """Seeded, thread-prefetched batch iterator over an ImsituDataset."""
+
+    def __init__(self, dataset: ImsituDataset, batch_size: int,
+                 shuffle: bool, seed: int = 0, num_workers: int = 2,
+                 prefetch: int = 2, drop_last: bool = False):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.drop_last = drop_last
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def _epoch_order(self) -> np.ndarray:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.default_rng((self.seed, self.epoch)).shuffle(order)
+        return order
+
+    def _make_batch(self, indices: np.ndarray) -> Dict:
+        ds = self.dataset
+        B = len(indices)
+        R = ds.encoder.max_role_count
+        images = np.empty((B, 256, 256, 3), dtype=np.uint8)
+        flip = np.zeros((B,), dtype=bool)
+        errors: List[BaseException] = []
+
+        def fill(slot_idx_pairs):
+            # one generator per (seed, epoch, example): drives crop then flip
+            try:
+                for slot, idx in slot_idx_pairs:
+                    rng = (np.random.default_rng((self.seed, self.epoch, int(idx)))
+                           if ds.train else None)
+                    images[slot] = ds.load_window(int(idx), rng)
+                    if ds.train:
+                        flip[slot] = rng.random() < 0.5
+            except BaseException as e:
+                errors.append(e)
+
+        pairs = list(enumerate(indices))
+        if self.num_workers > 1 and B > 1:
+            chunks = np.array_split(np.arange(B), self.num_workers)
+            threads = [
+                threading.Thread(target=fill, args=([pairs[i] for i in c],))
+                for c in chunks if len(c)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+        else:
+            fill(pairs)
+        if errors:
+            raise errors[0]
+
+        return {
+            "names": [ds.names[int(i)] for i in indices],
+            "images": images,
+            "verbs": ds.verbs[indices],
+            "labels": ds.labels[indices],
+            "flip": flip,
+        }
+
+    def __iter__(self) -> Iterator[Dict]:
+        order = self._epoch_order()
+        n = len(order)
+        batch_starts = range(0, n - (n % self.batch_size if self.drop_last else 0),
+                             self.batch_size)
+        index_batches = [order[s:s + self.batch_size] for s in batch_starts]
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                for idxs in index_batches:
+                    if stop.is_set():
+                        return
+                    q.put(self._make_batch(idxs))
+                q.put(None)
+            except BaseException as e:  # propagate to the consumer
+                q.put(e)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    break
+                if isinstance(batch, BaseException):
+                    raise batch
+                yield batch
+        finally:
+            stop.set()
+            # drain so the producer can observe stop and exit
+            while not q.empty():
+                q.get_nowait()

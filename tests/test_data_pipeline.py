@@ -1,0 +1,130 @@
+"""Data pipeline tests: transform parity vs a PIL clean-room reference,
+loader determinism, and batch structure on synthetic JPEGs."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from situation_recognition_tpu.data.dataset import ImsituDataset, ImsituLoader
+from situation_recognition_tpu.data.transforms import (
+    IMAGENET_MEAN, IMAGENET_STD, device_transform, eval_transform, host_window)
+
+
+@pytest.fixture(scope="module")
+def img_dir(tmp_path_factory, ):
+    """Synthetic JPEGs named like the overfitting.json keys, mixed sizes."""
+    d = tmp_path_factory.mktemp("imgs")
+    fixture = os.path.join(os.path.dirname(__file__), "fixtures", "overfitting.json")
+    with open(fixture) as f:
+        names = list(json.load(f).keys())
+    rng = np.random.default_rng(0)
+    sizes = [(340, 256), (256, 420), (256, 256), (512, 256), (300, 380)]
+    for name, (h, w) in zip(names, sizes):
+        # smooth content (upsampled low-res noise): resample-phase differences
+        # between crop→resize and resize→crop stay small, as for real photos
+        low = rng.integers(0, 255, size=(8, 8, 3), dtype=np.uint8)
+        arr = np.asarray(
+            Image.fromarray(low).resize((w, h), Image.BILINEAR), dtype=np.uint8)
+        Image.fromarray(arr).save(d / name, quality=95)
+    return str(d)
+
+
+def pil_dev_transform(img: Image.Image) -> np.ndarray:
+    """Clean-room torchvision dev transform: Resize(224) shorter side
+    (antialiased bilinear) + CenterCrop(224) + ToTensor + Normalize."""
+    w, h = img.size
+    if w < h:
+        nw, nh = 224, int(round(h * 224 / w))
+    else:
+        nh, nw = 224, int(round(w * 224 / h))
+    img = img.resize((nw, nh), Image.BILINEAR)
+    left, top = (nw - 224) // 2, (nh - 224) // 2
+    img = img.crop((left, top, left + 224, top + 224))
+    x = np.asarray(img).astype(np.float32) / 255.0
+    return (x - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def test_eval_transform_close_to_pil(img_dir):
+    fixture = os.path.join(os.path.dirname(__file__), "fixtures", "overfitting.json")
+    with open(fixture) as f:
+        names = list(json.load(f).keys())
+    diffs = []
+    for name in names:
+        img = Image.open(os.path.join(img_dir, name)).convert("RGB")
+        want = pil_dev_transform(img)
+        window = host_window(np.asarray(img), train=False)
+        got = np.asarray(eval_transform(window[None]))[0]
+        diffs.append(np.abs(got - want))
+    mean_diff = float(np.mean([d.mean() for d in diffs]))
+    max_diff = float(np.max([d.max() for d in diffs]))
+    # resample-order divergence (crop→resize vs resize→crop) stays small
+    assert mean_diff < 0.05, mean_diff
+    assert max_diff < 1.0, max_diff
+
+
+def test_device_transform_shapes_and_range():
+    rng = np.random.default_rng(1)
+    u8 = rng.integers(0, 255, (3, 256, 256, 3), dtype=np.uint8)
+    out = np.asarray(device_transform(u8, flip=np.array([True, False, True])))
+    assert out.shape == (3, 224, 224, 3)
+    # normalized range sanity: within (0-mean)/std .. (1-mean)/std
+    lo = (0 - IMAGENET_MEAN.max()) / IMAGENET_STD.min() - 0.1
+    hi = (1 - IMAGENET_MEAN.min()) / IMAGENET_STD.min() + 0.1
+    assert out.min() > lo and out.max() < hi
+
+
+def test_flip_is_horizontal():
+    rng = np.random.default_rng(2)
+    u8 = rng.integers(0, 255, (1, 256, 256, 3), dtype=np.uint8)
+    a = np.asarray(device_transform(u8, flip=np.array([False])))
+    b = np.asarray(device_transform(u8, flip=np.array([True])))
+    np.testing.assert_allclose(a, b[:, :, ::-1, :], atol=1e-6)
+
+
+def test_host_window_small_image_upscales():
+    rng = np.random.default_rng(3)
+    small = rng.integers(0, 255, (100, 150, 3), dtype=np.uint8)
+    w = host_window(small, train=False)
+    assert w.shape == (256, 256, 3)
+
+
+def test_dataset_and_loader(img_dir, encoder, overfitting_json):
+    ds = ImsituDataset(img_dir, overfitting_json, encoder, train=True)
+    assert len(ds) == 5
+    loader = ImsituLoader(ds, batch_size=2, shuffle=True, seed=7, num_workers=2)
+    batches = list(loader)
+    assert len(batches) == 3  # 2+2+1, partial last batch kept
+    assert batches[0]["images"].shape == (2, 256, 256, 3)
+    assert batches[0]["images"].dtype == np.uint8
+    assert batches[2]["images"].shape == (1, 256, 256, 3)
+    assert batches[0]["labels"].shape == (2, 3, encoder.max_role_count)
+    seen = [n for b in batches for n in b["names"]]
+    assert sorted(seen) == sorted(ds.names)
+
+
+def test_loader_deterministic_per_epoch(img_dir, encoder, overfitting_json):
+    ds = ImsituDataset(img_dir, overfitting_json, encoder, train=True)
+    l1 = ImsituLoader(ds, batch_size=2, shuffle=True, seed=7)
+    l2 = ImsituLoader(ds, batch_size=2, shuffle=True, seed=7)
+    b1, b2 = list(l1), list(l2)
+    for x, y in zip(b1, b2):
+        assert x["names"] == y["names"]
+        np.testing.assert_array_equal(x["images"], y["images"])
+        np.testing.assert_array_equal(x["flip"], y["flip"])
+    # a different epoch reshuffles and re-crops
+    l1.set_epoch(1)
+    b3 = list(l1)
+    assert any(x["names"] != y["names"] for x, y in zip(b1, b3)) or any(
+        not np.array_equal(x["images"], y["images"]) for x, y in zip(b1, b3))
+
+
+def test_eval_loader_center_deterministic(img_dir, encoder, overfitting_json):
+    ds = ImsituDataset(img_dir, overfitting_json, encoder, train=False)
+    loader = ImsituLoader(ds, batch_size=5, shuffle=False)
+    a, b = list(loader)[0], list(loader)[0]
+    np.testing.assert_array_equal(a["images"], b["images"])
+    assert not a["flip"].any()
+    assert a["names"] == ds.names
