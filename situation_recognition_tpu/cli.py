@@ -1,0 +1,249 @@
+"""Command-line interface — flag-compatible with the reference ``sr.py``
+(``/root/reference/sr.py:383-539``): same flags, same defaults, same mode
+dispatch, same stdout formats.  TPU-specific additions are strictly additive
+(``--backbone``, ``--precision``, ``--model_axis``, ``--backbone_ckpt``,
+``--seed``, ``--ggnn``).
+
+Reproduced behaviors:
+* the encoder is ALWAYS built from ``<dataset_folder>/train.json`` even when
+  ``--train_file`` names a different file (sr.py:429-430);
+* the encoder is cached in ``<saving_folder>/encoder`` and reloaded with a
+  "Loading encoder file" message (sr.py:442-447) — as JSON, not pickle;
+* the test loader shuffles (sr.py:462-463, reference quirk);
+* resume sets ``model_saving_name`` to the resume name (sr.py:505).
+
+Resume accepts both this framework's msgpack checkpoints and original torch
+checkpoints (converted on the fly, incl. the pretrained ``resnet152_sr``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from argparse import ArgumentParser
+from os.path import isfile as pisfile, join as pjoin
+from pathlib import Path
+
+
+def build_parser() -> ArgumentParser:
+    parser = ArgumentParser(description='Situation recognition with GNN.')
+    parser.add_argument('--resume_model', type=str, default='',
+                        help='The model we resume')
+
+    parser.add_argument('--evaluate_dev', action='store_true',
+                        help='Only use the testing mode')
+    parser.add_argument('--evaluate_test', action='store_true',
+                        help='Only use the testing mode')
+
+    parser.add_argument('--test_img', type=str, default='',
+                        help='Only use the results mode with a given img')
+    parser.add_argument('--verb', type=str, default='',
+                        help='Use a gt verb')
+    parser.add_argument('--subset', type=int, default=0,
+                        help='Analize a subset of a specified size')
+
+    parser.add_argument('--model_saving_name', type=str, default='sr',
+                        help='saving name of the outpul model')
+    parser.add_argument('--saving_folder', type=str, default='checkpoints',
+                        help='Location of annotations')
+    parser.add_argument('--imgset_dir', type=str, default='resized_256',
+                        help='Location of original images')
+    parser.add_argument('--dataset_folder', type=str, default='imSitu',
+                        help='Location of annotations')
+
+    parser.add_argument('--train_file', type=str, default='train.json',
+                        help='Train json file')
+    parser.add_argument('--dev_file', type=str, default='dev.json',
+                        help='Dev json file')
+    parser.add_argument('--test_file', type=str, default='test.json',
+                        help='test json file')
+
+    parser.add_argument('--batch_size', type=int, default=6144)
+    parser.add_argument('--num_workers', type=int, default=10)
+
+    parser.add_argument('--epochs', type=int, default=1000)
+    parser.add_argument('--lr', type=float, default=0.002)
+
+    # --- TPU-native additions (not in the reference CLI) ---
+    parser.add_argument('--backbone', type=str, default='resnet152',
+                        choices=['resnet50', 'resnet101', 'resnet152', 'mini'],
+                        help='Backbone architecture')
+    parser.add_argument('--precision', type=str, default='auto',
+                        choices=['auto', 'bf16', 'fp32'],
+                        help='Compute dtype (auto: bf16 on TPU, fp32 on CPU)')
+    parser.add_argument('--model_axis', type=int, default=1,
+                        help='Mesh model-axis size (classifier TP)')
+    parser.add_argument('--backbone_ckpt', type=str, default='',
+                        help='Pretrained backbone weights (.msgpack or torch .pth)')
+    parser.add_argument('--seed', type=int, default=0)
+    parser.add_argument('--ggnn', type=str, default='masked',
+                        choices=['masked', 'pallas'],
+                        help='GGNN propagation implementation')
+    return parser
+
+
+def _load_json(path):
+    with open(path, 'r') as f:
+        return json.load(f)
+
+
+def _load_backbone(trainer, path: str) -> None:
+    from flax import serialization
+
+    from situation_recognition_tpu.utils import torch_convert
+
+    if path.endswith('.msgpack'):
+        with open(path, 'rb') as f:
+            state = serialization.msgpack_restore(f.read())
+        params, stats = state['params'], state['batch_stats']
+    else:
+        sd = torch_convert.load_torch_file(path)
+        prefix = 'convnet_nouns.model.' if any(
+            k.startswith('convnet_nouns.') for k in sd) else ''
+        params, stats = torch_convert.convert_resnet(sd, prefix=prefix)
+    trainer.backbone_params = serialization.from_state_dict(
+        trainer.backbone_params, params)
+    trainer.backbone_stats = serialization.from_state_dict(
+        trainer.backbone_stats, stats)
+
+
+def _load_resume(trainer, path: str):
+    """Load a resume checkpoint; returns the checkpoint dict for fit()
+    (ours) or None (torch checkpoints: weights only)."""
+    from situation_recognition_tpu.utils import torch_convert
+    from situation_recognition_tpu.utils.checkpoint import load_checkpoint
+
+    try:
+        ckpt = load_checkpoint(path)
+        trainer.load_model_state(ckpt)
+        return ckpt
+    except Exception:
+        pass
+    from flax import serialization
+
+    sd = torch_convert.load_torch_file(path)
+    bparams, bstats, head = torch_convert.convert_reference_checkpoint(sd)
+    trainer.backbone_params = serialization.from_state_dict(
+        trainer.backbone_params, bparams)
+    trainer.backbone_stats = serialization.from_state_dict(
+        trainer.backbone_stats, bstats)
+    trainer.head_params = serialization.from_state_dict(
+        trainer.head_params, head)
+    return None
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from situation_recognition_tpu.data.dataset import ImsituDataset, ImsituLoader
+    from situation_recognition_tpu.data.encoder import ImsituEncoder
+    from situation_recognition_tpu.inference import analize_subset, results
+    from situation_recognition_tpu.train import Trainer, TrainerConfig
+
+    Path(args.saving_folder).mkdir(exist_ok=True)
+    checkpoint = None
+
+    # encoder json is always train.json (reference behavior, sr.py:429-430)
+    encoder_json = _load_json(pjoin(args.dataset_folder, 'train.json'))
+    train_json = _load_json(pjoin(args.dataset_folder, args.train_file))
+    dev_json = _load_json(pjoin(args.dataset_folder, args.dev_file))
+    test_json = _load_json(pjoin(args.dataset_folder, args.test_file))
+
+    encoder_path = pjoin(args.saving_folder, 'encoder')
+    if not pisfile(encoder_path):
+        encoder = ImsituEncoder(encoder_json)
+        encoder.save(encoder_path)
+    else:
+        print("Loading encoder file")
+        encoder = ImsituEncoder.load(encoder_path)
+
+    train_set = ImsituDataset(args.imgset_dir, train_json, encoder, train=True)
+    train_loader = ImsituLoader(train_set, batch_size=args.batch_size,
+                                shuffle=True, seed=args.seed,
+                                num_workers=args.num_workers)
+    dev_set = ImsituDataset(args.imgset_dir, dev_json, encoder, train=False)
+    dev_loader = ImsituLoader(dev_set, batch_size=args.batch_size,
+                              shuffle=False, num_workers=args.num_workers)
+    test_set = ImsituDataset(args.imgset_dir, test_json, encoder, train=False)
+    test_loader = ImsituLoader(test_set, batch_size=args.batch_size,
+                               shuffle=True, seed=args.seed,
+                               num_workers=args.num_workers)  # ref quirk
+
+    on_tpu = jax.default_backend() == 'tpu'
+    if args.precision == 'bf16' or (args.precision == 'auto' and on_tpu):
+        dtype = jnp.bfloat16
+    else:
+        dtype = jnp.float32
+    n_dev = jax.device_count()
+    if on_tpu:
+        print('Using', n_dev, 'TPU chips!')
+
+    batch = args.batch_size
+    ndata = max(1, n_dev // args.model_axis)
+    if batch % ndata != 0:
+        batch = ((batch + ndata - 1) // ndata) * ndata
+        print(f'[srtpu] batch_size rounded up to {batch} '
+              f'(divisible by data axis {ndata})')
+
+    hidden = 2048 if args.backbone != 'mini' else 64
+    cfg = TrainerConfig(
+        hidden=hidden, lr=args.lr, batch_size=batch, epochs=args.epochs,
+        backbone=args.backbone, compute_dtype=dtype, seed=args.seed,
+        model_axis=args.model_axis, ggnn_impl=args.ggnn)
+    trainer = Trainer(encoder, cfg)
+
+    if args.backbone_ckpt:
+        _load_backbone(trainer, args.backbone_ckpt)
+    else:
+        default_bb = pjoin(args.saving_folder, 'backbone.msgpack')
+        if pisfile(default_bb):
+            _load_backbone(trainer, default_bb)
+        elif not args.resume_model:
+            print('[srtpu] no pretrained backbone found '
+                  '(use --backbone_ckpt or tools/convert_torch.py); '
+                  'training from random backbone weights')
+
+    if len(args.resume_model) > 1:
+        print('Resume training from: {}'.format(args.resume_model))
+        checkpoint = _load_resume(
+            trainer, pjoin(args.saving_folder, args.resume_model))
+        args.model_saving_name = args.resume_model
+
+    if args.evaluate_dev:
+        print('=> evaluating model with dev-set...')
+        trainer.evaluate(dev_loader, logging=True)
+    elif args.evaluate_test:
+        print('=> evaluating model with test-set...')
+        trainer.evaluate(test_loader, logging=True)
+    elif args.test_img:
+        verb, verb_prob, labels, labels_prob = results(
+            trainer, args.test_img, encoder, args.verb)
+        print('&' * 50)
+        print('Analizing: ', args.test_img)
+        from PIL import Image
+        try:
+            from IPython.display import display
+        except Exception:  # pragma: no cover
+            display = print
+        pil_im = Image.open(args.test_img, 'r')
+        display(pil_im)
+        print('&' * 50)
+
+        print('action ({:.2f}%): {}'.format(verb_prob, verb))
+        c = 0
+        for k, v in labels.items():
+            print('{} ({:.2f}%): {}'.format(k, labels_prob[c], v))
+            c += 1
+    elif args.subset > 0:
+        analize_subset(trainer, dev_set, encoder, args.subset)
+    else:
+        print('Model training started!')
+        trainer.fit(train_loader, dev_loader, args.model_saving_name,
+                    folder=args.saving_folder, checkpoint=checkpoint)
+
+
+if __name__ == '__main__':
+    main()

@@ -76,11 +76,13 @@ class ResNet(nn.Module):
 
     stage_sizes: Sequence[int]
     dtype: Any = jnp.float32
+    base_width: int = 64   # stem width; feature dim = base_width * 32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = x.astype(self.dtype)
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+        x = nn.Conv(self.base_width, (7, 7), strides=(2, 2),
+                    padding=[(3, 3), (3, 3)],
                     use_bias=False, dtype=self.dtype, name="conv1")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
@@ -88,7 +90,7 @@ class ResNet(nn.Module):
         # torch MaxPool2d(kernel=3, stride=2, padding=1)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
-        features = 64
+        features = self.base_width
         for stage, num_blocks in enumerate(self.stage_sizes):
             for block in range(num_blocks):
                 strides = 2 if (stage > 0 and block == 0) else 1

@@ -1,0 +1,446 @@
+"""Training / evaluation engine: one pjit-compiled step over an ICI mesh.
+
+TPU-native replacement for the reference's train/eval loops
+(``/root/reference/sr.py:15-232``).  Per-step work that the reference does on
+the host or redundantly on device — PIL transforms, per-example adjacency
+construction, 3 frozen-backbone passes, per-example Python scoring, AMP loss
+scaling — becomes: one jitted function that takes uint8 image windows and
+does device-side preprocessing, a single backbone pass (frozen; features
+stop-gradiented), the stacked GGNN head forward, masked losses, optax
+adamax + global-norm-1 clipping (reference Adamax lr 0.002 + clip,
+sr.py:472-473,81), and on-device top-k extraction for the vectorized scorer.
+
+Parity details:
+* loss = verb_loss + nouns_loss; gt branch is logged but NOT backpropagated
+  (sr.py:76 — deliberate reproduction).
+* BN runs in batch-stats mode during training with running-stat updates
+  (the reference's ``model.train()`` backbone behavior).
+* Epoch metrics are means over per-batch scorer cards and per-batch mean
+  losses, exactly as the reference accumulates them.
+* Final partial batches are padded by wrapping epoch examples, with a
+  validity mask excluding pad rows from losses and metrics.  (Divergence,
+  documented: the reference computes the last batch's BN batch-stats over
+  the true partial batch; we compute over the wrapped full batch.)
+* bf16 compute (mixed precision) replaces CUDA AMP; no loss scaling is
+  needed on TPU (documented divergence).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from situation_recognition_tpu.data.encoder import ImsituEncoder
+from situation_recognition_tpu.data.transforms import device_transform
+from situation_recognition_tpu.metrics.scorer import ImsituScorer, mean_of_eight
+from situation_recognition_tpu.models.fcggnn import FCGGNNHead
+from situation_recognition_tpu.models.resnet import ResNet
+from situation_recognition_tpu.parallel.mesh import make_mesh
+from situation_recognition_tpu.utils.logging import StepTimer, format_dict
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    hidden: int = 2048
+    lr: float = 0.002
+    batch_size: int = 6144
+    epochs: int = 1000
+    num_ggnn_steps: int = 4
+    backbone: str = "resnet152"          # resnet50/101/152 | mini (tests)
+    compute_dtype: Any = jnp.bfloat16    # bf16 on TPU; tests use float32
+    seed: int = 0
+    model_axis: int = 1                  # >1 enables classifier TP
+    ggnn_impl: str = "masked"            # masked | pallas
+
+
+_BACKBONES = {
+    "resnet50": (3, 4, 6, 3),
+    "resnet101": (3, 4, 23, 3),
+    "resnet152": (3, 8, 36, 3),
+    "mini": (1, 1, 1, 1),
+}
+
+
+def _masked_verb_loss(pred_verb, gt_verb, valid):
+    logp = jax.nn.log_softmax(pred_verb.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, gt_verb[:, None], axis=-1)[:, 0]
+    return jnp.sum(nll * valid) / jnp.sum(valid)
+
+
+def _masked_nouns_loss(pred_nouns, gt_nouns, ignore_index, valid):
+    logp = jax.nn.log_softmax(pred_nouns.astype(jnp.float32), axis=-1)
+    total = jnp.zeros((), jnp.float32)
+    for n in range(3):
+        labels = gt_nouns[:, n, :]
+        ok = (labels != ignore_index) & valid[:, None].astype(bool)
+        safe = jnp.where(ok, labels, 0)
+        nll = -jnp.take_along_axis(logp, safe[:, :, None], axis=-1)[:, :, 0]
+        total = total + jnp.sum(jnp.where(ok, nll, 0.0)) / jnp.maximum(
+            jnp.sum(ok), 1)
+    return total
+
+
+class Trainer:
+    """Owns models, optimizer, mesh, and the compiled train/eval steps."""
+
+    def __init__(self, encoder: ImsituEncoder, config: TrainerConfig,
+                 mesh=None, backbone_variables: Optional[dict] = None,
+                 head_params: Optional[dict] = None):
+        self.encoder = encoder
+        self.config = config
+        self.mesh = mesh if mesh is not None else make_mesh(model=config.model_axis)
+        ndata = self.mesh.shape["data"]
+        if config.batch_size % ndata != 0:
+            raise ValueError(
+                f"batch_size {config.batch_size} not divisible by data axis {ndata}")
+
+        dt = config.compute_dtype
+        # feature dim = base_width * 32 must equal the head hidden size (the
+        # reference ties D_hidden_state to the backbone's 2048-d features)
+        if config.hidden % 32 != 0:
+            raise ValueError("hidden must be a multiple of 32")
+        self.backbone = ResNet(stage_sizes=_BACKBONES[config.backbone],
+                               dtype=dt, base_width=config.hidden // 32)
+        self.head = FCGGNNHead(
+            num_verbs=encoder.get_num_verbs(),
+            num_roles=encoder.get_num_roles(),
+            num_labels=encoder.get_num_labels(),
+            max_role_count=encoder.max_role_count,
+            hidden=config.hidden,
+            num_steps=config.num_ggnn_steps,
+            dtype=dt,
+        )
+        self.role_ids = jnp.asarray(encoder.role_ids)
+        self.role_mask = jnp.asarray(encoder.role_mask)
+
+        key = jax.random.PRNGKey(config.seed)
+        bkey, hkey, self._dropout_base = jax.random.split(key, 3)
+        img_stub = jnp.zeros((1, 224, 224, 3), jnp.float32)
+        if backbone_variables is None:
+            backbone_variables = self.backbone.init(bkey, img_stub, train=False)
+        self.backbone_params = backbone_variables["params"]
+        self.backbone_stats = backbone_variables["batch_stats"]
+        if head_params is None:
+            feat_stub = jnp.zeros((1, config.hidden), jnp.float32)
+            head_params = self.head.init(
+                hkey, feat_stub, jnp.zeros((1,), jnp.int32),
+                self.role_ids, self.role_mask)["params"]
+        self.head_params = head_params
+
+        # reference: Adamax(lr=0.002) over trainable params with
+        # clip_grad_norm_(1.0) applied before the step (sr.py:472,81)
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(1.0),
+            optax.adamax(config.lr),
+        )
+        self.opt_state = self.tx.init(self.head_params)
+        self.step_count = 0
+
+        self._repl = NamedSharding(self.mesh, P())
+        self._bsh = NamedSharding(self.mesh, P("data"))
+        self._build_steps()
+
+    # ------------------------------------------------------------- stepping
+
+    def _forward(self, head_params, backbone_params, backbone_stats,
+                 images, flip, verbs, train, dropout_key):
+        x = device_transform(images, flip if train else None,
+                             dtype=self.config.compute_dtype)
+        if train:
+            feats, updates = self.backbone.apply(
+                {"params": backbone_params, "batch_stats": backbone_stats},
+                x, train=True, mutable=["batch_stats"])
+            new_stats = updates["batch_stats"]
+        else:
+            feats = self.backbone.apply(
+                {"params": backbone_params, "batch_stats": backbone_stats},
+                x, train=False)
+            new_stats = backbone_stats
+        feats = jax.lax.stop_gradient(feats.astype(jnp.float32))
+        outs = self.head.apply(
+            {"params": head_params}, feats, verbs,
+            self.role_ids, self.role_mask, train=train,
+            rngs={"dropout": dropout_key} if train else None)
+        return outs, new_stats
+
+    def _losses(self, outs, verbs, labels, valid):
+        pred_verb, pred_nouns, gt_pred_nouns = outs
+        L = self.encoder.get_num_labels()
+        vloss = _masked_verb_loss(pred_verb, verbs, valid)
+        nloss = _masked_nouns_loss(pred_nouns, labels, L, valid)
+        gloss = _masked_nouns_loss(gt_pred_nouns, labels, L, valid)
+        return vloss, nloss, gloss
+
+    @staticmethod
+    def _topk(outs):
+        pred_verb, pred_nouns, gt_pred_nouns = outs
+        _, pv5 = jax.lax.top_k(pred_verb, 5)
+        _, pn5 = jax.lax.top_k(pred_nouns, 5)
+        gt1 = jnp.argmax(gt_pred_nouns, axis=-1)[..., None]
+        return pv5, pn5, gt1
+
+    def _build_steps(self):
+        tx = self.tx
+
+        def train_step(head_params, opt_state, backbone_params,
+                       backbone_stats, dropout_key, images, flip, verbs,
+                       labels, valid):
+            def loss_fn(hp):
+                outs, new_stats = self._forward(
+                    hp, backbone_params, backbone_stats, images, flip,
+                    verbs, True, dropout_key)
+                vloss, nloss, gloss = self._losses(outs, verbs, labels, valid)
+                return vloss + nloss, (outs, new_stats, vloss, nloss, gloss)
+
+            grads, (outs, new_stats, vloss, nloss, gloss) = jax.grad(
+                loss_fn, has_aux=True)(head_params)
+            updates, opt_state = tx.update(grads, opt_state, head_params)
+            head_params = optax.apply_updates(head_params, updates)
+            return (head_params, opt_state, new_stats,
+                    (vloss, nloss, gloss), self._topk(outs))
+
+        def eval_step(head_params, backbone_params, backbone_stats,
+                      images, verbs, labels, valid):
+            outs, _ = self._forward(
+                head_params, backbone_params, backbone_stats, images, None,
+                verbs, False, None)
+            return self._losses(outs, verbs, labels, valid), self._topk(outs)
+
+        repl, bsh = self._repl, self._bsh
+        self._train_step = jax.jit(
+            train_step,
+            in_shardings=(repl, repl, repl, repl, repl,
+                          bsh, bsh, bsh, bsh, bsh),
+            out_shardings=None,
+            donate_argnums=(0, 1, 3),
+        )
+        self._eval_step = jax.jit(
+            eval_step,
+            in_shardings=(repl, repl, repl, bsh, bsh, bsh, bsh),
+        )
+
+        # single-device inference paths (results/analize_subset modes):
+        # batch-1 inputs, eval-mode BN, 2 backbone passes like the reference
+        def infer_verb(head_params, backbone_params, backbone_stats, images):
+            x = device_transform(images, None, dtype=self.config.compute_dtype)
+            feats = self.backbone.apply(
+                {"params": backbone_params, "batch_stats": backbone_stats},
+                x, train=False).astype(jnp.float32)
+            return self.head.apply({"params": head_params}, feats,
+                                   method=self.head.predict_verb)
+
+        def infer_nouns(head_params, backbone_params, backbone_stats,
+                        images, verb_ids):
+            x = device_transform(images, None, dtype=self.config.compute_dtype)
+            feats = self.backbone.apply(
+                {"params": backbone_params, "batch_stats": backbone_stats},
+                x, train=False).astype(jnp.float32)
+            return self.head.apply(
+                {"params": head_params}, feats, verb_ids,
+                self.role_ids, self.role_mask,
+                method=self.head.predict_nouns)
+
+        self._infer_verb = jax.jit(infer_verb)
+        self._infer_nouns = jax.jit(infer_nouns)
+
+    def infer_verb(self, images_u8) -> jax.Array:
+        """(B, 256, 256, 3) uint8 → verb logits (B, V)."""
+        return self._infer_verb(self.head_params, self.backbone_params,
+                                self.backbone_stats, jnp.asarray(images_u8))
+
+    def infer_nouns(self, images_u8, verb_ids) -> jax.Array:
+        """(B, 256, 256, 3) uint8 + verb ids (B,) → noun logits (B, R, L)."""
+        return self._infer_nouns(self.head_params, self.backbone_params,
+                                 self.backbone_stats, jnp.asarray(images_u8),
+                                 jnp.asarray(verb_ids))
+
+    # ------------------------------------------------------------- batching
+
+    def _pad_batch(self, batch: Dict) -> Tuple[Dict, np.ndarray, int]:
+        """Pad to config.batch_size by wrapping; returns (arrays, valid, n)."""
+        B = self.config.batch_size
+        n = len(batch["verbs"])
+        idx = np.arange(B) % n
+        valid = (np.arange(B) < n).astype(np.float32)
+        out = {
+            "images": batch["images"][idx],
+            "flip": batch["flip"][idx],
+            "verbs": batch["verbs"][idx].astype(np.int32),
+            "labels": batch["labels"][idx].astype(np.int32),
+        }
+        return out, valid, n
+
+    # ------------------------------------------------------------ epoch API
+
+    def train_epoch(self, loader, epoch: int,
+                    timer: Optional[StepTimer] = None):
+        """One epoch; returns (top1, top5, mean losses tuple)."""
+        loader.set_epoch(epoch)
+        top1 = ImsituScorer(self.encoder, 1, 3)
+        top5 = ImsituScorer(self.encoder, 5, 3)
+        sums = np.zeros(3)
+        num_batches = 0
+        for batch in loader:
+            arrays, valid, n = self._pad_batch(batch)
+            key = jax.random.fold_in(self._dropout_base, self.step_count)
+            if timer:
+                timer.start()
+            (self.head_params, self.opt_state, self.backbone_stats,
+             losses, topk) = self._train_step(
+                self.head_params, self.opt_state, self.backbone_params,
+                self.backbone_stats, key, arrays["images"], arrays["flip"],
+                arrays["verbs"], arrays["labels"], valid)
+            losses = [float(x) for x in losses]
+            pv5, pn5, gt1 = (np.asarray(x)[:n] for x in topk)
+            if timer:
+                timer.stop(n)
+            top1.add_point_indices(pv5[:, :1], batch["verbs"],
+                                   pn5[:, :, :1], batch["labels"], gt1)
+            top5.add_point_indices(pv5, batch["verbs"], pn5, batch["labels"])
+            sums += losses
+            num_batches += 1
+            self.step_count += 1
+        return top1, top5, tuple(sums / max(num_batches, 1))
+
+    def evaluate(self, loader, logging: bool = False):
+        """Reference ``eval`` (sr.py:165-232): returns
+        (top1, top5, val_losses dict, avg_score)."""
+        top1 = ImsituScorer(self.encoder, 1, 3)
+        top5 = ImsituScorer(self.encoder, 5, 3)
+        sums = np.zeros(3)
+        num_batches = 0
+        for batch in loader:
+            arrays, valid, n = self._pad_batch(batch)
+            losses, topk = self._eval_step(
+                self.head_params, self.backbone_params, self.backbone_stats,
+                arrays["images"], arrays["verbs"], arrays["labels"], valid)
+            pv5, pn5, gt1 = (np.asarray(x)[:n] for x in topk)
+            top1.add_point_indices(pv5[:, :1], batch["verbs"],
+                                   pn5[:, :, :1], batch["labels"], gt1)
+            top5.add_point_indices(pv5, batch["verbs"], pn5, batch["labels"])
+            sums += [float(x) for x in losses]
+            num_batches += 1
+        sums /= max(num_batches, 1)
+        val_losses = {"verb_loss": sums[0], "nouns_loss": sums[1],
+                      "gt_loss": sums[2]}
+
+        avg_score = 0.0
+        if logging:
+            top1_a = top1.get_average_results_both()
+            top5_a = top5.get_average_results_both()
+            avg_score = mean_of_eight(top1_a, top5_a)
+            print('val losses = [v: {:.2f}, n: {:.2f}, gt: {:.2f}]'
+                  .format(val_losses['verb_loss'], val_losses['nouns_loss'],
+                          val_losses['gt_loss']))
+            gt = {key: top1_a[key] for key in ['gt-value', 'gt-value-all']}
+            one_val = {key: top1_a[key] for key in ['verb', 'value', 'value-all']}
+            print('{}\n{}\n{}, mean = {:.2f}\n'
+                  .format(format_dict(one_val, '{:.2f}', '1-'),
+                          format_dict(top5_a, '{:.2f}', '5-'),
+                          format_dict(gt, '{:.2f}', ''), avg_score))
+        return top1, top5, val_losses, avg_score
+
+    # ------------------------------------------------------------- fit loop
+
+    def fit(self, train_loader, dev_loader, model_saving_name: str,
+            folder: str, checkpoint: Optional[dict] = None,
+            plot: bool = True, save: bool = True,
+            timer: Optional[StepTimer] = None):
+        """Reference ``train`` (sr.py:15-162): epoch loop with identical
+        stdout, per-epoch dev eval, curve plot, and overwrite checkpointing."""
+        import os
+
+        from situation_recognition_tpu.utils.checkpoint import save_checkpoint
+
+        histories = {k: [] for k in [
+            "avg_scores", "verb_losses", "nouns_losses",
+            "val_avg_scores", "val_verb_losses", "val_nouns_losses"]}
+        epoch = 0
+        if checkpoint is not None:
+            epoch = int(checkpoint["epoch"])
+            for k in histories:
+                histories[k] = list(checkpoint[k])
+            self.load_model_state(checkpoint)
+
+        for e in range(epoch, self.config.epochs):
+            print('Epoch-{}, lr: {:.4f}'.format(e, self.config.lr))
+            top1, top5, (vloss, nloss, gloss) = self.train_epoch(
+                train_loader, e, timer=timer)
+
+            top1_a = top1.get_average_results_both()
+            top5_a = top5.get_average_results_both()
+            avg_score = mean_of_eight(top1_a, top5_a)
+            histories["avg_scores"].append(avg_score)
+            histories["verb_losses"].append(vloss)
+            histories["nouns_losses"].append(nloss)
+
+            print('training losses = [v: {:.2f}, n: {:.2f}, gt: {:.2f}]'
+                  .format(vloss, nloss, gloss))
+            gt = {key: top1_a[key] for key in ['gt-value', 'gt-value-all']}
+            one_val = {key: top1_a[key] for key in ['verb', 'value', 'value-all']}
+            print('{}\n{}\n{}, mean = {:.2f}\n{}'
+                  .format(format_dict(one_val, '{:.2f}', '1-'),
+                          format_dict(top5_a, '{:.2f}', '5-'),
+                          format_dict(gt, '{:.2f}', ''), avg_score, '-' * 50))
+
+            _, _, val_losses, val_avg = self.evaluate(dev_loader, logging=True)
+            histories["val_avg_scores"].append(val_avg)
+            histories["val_verb_losses"].append(val_losses["verb_loss"])
+            histories["val_nouns_losses"].append(val_losses["nouns_loss"])
+
+            if plot:
+                self._plot(histories, os.path.join(
+                    folder, model_saving_name + ".png"))
+
+            if save:
+                ckpt = {"epoch": e + 1, **histories,
+                        **self.model_state_dict()}
+                save_checkpoint(os.path.join(folder, model_saving_name), ckpt)
+
+    @staticmethod
+    def _plot(histories, path):
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        plt.plot(histories["verb_losses"], label='verb losses')
+        plt.plot(histories["nouns_losses"], label='nouns losses')
+        plt.plot(histories["avg_scores"], label='accuracy mean')
+        plt.plot(histories["val_verb_losses"], '-.', label='val verb losses')
+        plt.plot(histories["val_nouns_losses"], '-.', label='val nouns losses')
+        plt.plot(histories["val_avg_scores"], '-.', label='val accuracy mean')
+        plt.grid()
+        plt.legend()
+        plt.savefig(path)
+        plt.clf()
+
+    # ----------------------------------------------------------- state mgmt
+
+    def model_state_dict(self) -> dict:
+        return {
+            "head_params": jax.device_get(self.head_params),
+            "backbone_params": jax.device_get(self.backbone_params),
+            "backbone_stats": jax.device_get(self.backbone_stats),
+            "opt_state": jax.device_get(
+                jax.tree.map(np.asarray, self.opt_state)),
+        }
+
+    def load_model_state(self, state: dict) -> None:
+        from flax import serialization
+
+        self.head_params = serialization.from_state_dict(
+            self.head_params, state["head_params"])
+        self.backbone_params = serialization.from_state_dict(
+            self.backbone_params, state["backbone_params"])
+        self.backbone_stats = serialization.from_state_dict(
+            self.backbone_stats, state["backbone_stats"])
+        if "opt_state" in state and state["opt_state"] is not None:
+            self.opt_state = serialization.from_state_dict(
+                self.opt_state, state["opt_state"])

@@ -1,0 +1,130 @@
+"""End-to-end CLI tests: run ``sr.py`` as a subprocess against a synthetic
+dataset folder, covering all five modes and stdout parity shapes."""
+
+import json
+import os
+import re
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    """A cwd with imSitu/{train,dev,test,imsitu_space}.json + images dir."""
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("cli")
+    ds = root / "imSitu"
+    ds.mkdir()
+    with open(os.path.join(REPO, "imSitu", "overfitting.json")) as f:
+        ann = json.load(f)
+    for name in ("train.json", "dev.json", "test.json"):
+        with open(ds / name, "w") as f:
+            json.dump(ann, f)
+
+    # synthetic imsitu_space: verbs with ordered roles, nouns with glosses
+    verbs, nouns = {}, {}
+    for img, rec in ann.items():
+        roles = {}
+        for frame in rec["frames"]:
+            for role, label in frame.items():
+                roles.setdefault(role, {})
+                if label and label != "UNK":
+                    nouns.setdefault(label, {"gloss": [label + "_gloss"]})
+        verbs.setdefault(rec["verb"], {"roles": roles})
+    with open(ds / "imsitu_space.json", "w") as f:
+        json.dump({"nouns": nouns, "verbs": verbs}, f)
+
+    imgs = root / "resized_256"
+    imgs.mkdir()
+    rng = np.random.default_rng(0)
+    for name in ann:
+        low = rng.integers(0, 255, (8, 8, 3), dtype=np.uint8)
+        arr = np.asarray(Image.fromarray(low).resize((256, 256), Image.BILINEAR))
+        Image.fromarray(arr).save(imgs / name, quality=95)
+    return str(root)
+
+
+def run_cli(workdir, *extra, timeout=600):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["JAX_PLATFORM_NAME"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    cmd = [sys.executable, os.path.join(REPO, "sr.py"),
+           "--backbone", "mini", "--batch_size", "5", "--num_workers", "2",
+           "--precision", "fp32", *extra]
+    return subprocess.run(cmd, cwd=workdir, env=env, timeout=timeout,
+                          capture_output=True, text=True)
+
+
+def test_train_mode(workdir):
+    r = run_cli(workdir, "--epochs", "1")
+    assert r.returncode == 0, r.stderr[-3000:]
+    out = r.stdout
+    assert "train set stats: \n\t verb count: 5" in out
+    assert "Model training started!" in out
+    assert re.search(r"Epoch-0, lr: 0\.0020\n", out)
+    assert re.search(r"training losses = \[v: \d+\.\d\d, n: \d+\.\d\d, gt: \d+\.\d\d\]", out)
+    assert re.search(r"1-verb: \d+\.\d\d, 1-value: ", out)
+    assert re.search(r"val losses = \[v: ", out)
+    assert os.path.exists(os.path.join(workdir, "checkpoints", "sr"))
+    assert os.path.exists(os.path.join(workdir, "checkpoints", "sr.png"))
+    assert os.path.exists(os.path.join(workdir, "checkpoints", "encoder"))
+
+
+def test_evaluate_dev_mode(workdir):
+    r = run_cli(workdir, "--evaluate_dev")
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "Loading encoder file" in r.stdout  # cached by train run
+    assert "=> evaluating model with dev-set..." in r.stdout
+    assert re.search(r"gt-value: \d+\.\d\d, gt-value-all: \d+\.\d\d, mean = ", r.stdout)
+
+
+def test_evaluate_test_mode(workdir):
+    r = run_cli(workdir, "--evaluate_test")
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "=> evaluating model with test-set..." in r.stdout
+
+
+def test_test_img_mode_with_verb(workdir):
+    img = os.path.join(workdir, "resized_256", "glaring_215.jpg")
+    r = run_cli(workdir, "--test_img", img, "--verb", "glaring")
+    assert r.returncode == 0, r.stderr[-3000:]
+    out = r.stdout
+    assert "&" * 50 in out
+    assert "Analizing: " in out
+    assert re.search(r"action \(100\.00%\): glaring", out)
+    # three roles of glaring printed with probabilities
+    for role in ("place", "perceiver", "agent"):
+        assert re.search(rf"{role} \(\d+\.\d\d%\): ", out), (role, out)
+
+
+def test_test_img_mode_predicted_verb(workdir):
+    img = os.path.join(workdir, "resized_256", "talking_90.jpg")
+    r = run_cli(workdir, "--test_img", img)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "No ground truth verb found, calculating by myself..." in r.stdout
+    assert re.search(r"action \(\d+\.\d\d%\): \w+", r.stdout)
+
+
+def test_subset_mode(workdir):
+    r = run_cli(workdir, "--subset", "2")
+    assert r.returncode == 0, r.stderr[-3000:]
+    out = r.stdout
+    assert out.count("&" * 35) == 2
+    assert "---- Ground truth ----" in out
+    assert re.search(r"action: \w+", out)
+    assert re.search(r"\w+ = \[.*, .*, .*\]", out)
+
+
+def test_resume_mode(workdir):
+    r = run_cli(workdir, "--epochs", "2", "--resume_model", "sr")
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "Resume training from: sr" in r.stdout
+    assert "Epoch-1," in r.stdout
+    assert "Epoch-0," not in r.stdout

@@ -1,0 +1,130 @@
+"""Trainer integration tests on the mini backbone + synthetic images:
+overfit smoke, stdout parity, checkpoint roundtrip, Adamax parity vs torch."""
+
+import io
+import json
+import os
+import re
+import contextlib
+
+import numpy as np
+import jax.numpy as jnp
+import optax
+import pytest
+import torch
+
+from situation_recognition_tpu.data.dataset import ImsituDataset, ImsituLoader
+from situation_recognition_tpu.train import Trainer, TrainerConfig
+
+
+@pytest.fixture(scope="module")
+def img_dir(tmp_path_factory):
+    from PIL import Image
+
+    d = tmp_path_factory.mktemp("imgs")
+    fixture = os.path.join(os.path.dirname(__file__), "fixtures", "overfitting.json")
+    with open(fixture) as f:
+        names = list(json.load(f).keys())
+    rng = np.random.default_rng(0)
+    for name in names:
+        low = rng.integers(0, 255, size=(8, 8, 3), dtype=np.uint8)
+        arr = np.asarray(Image.fromarray(low).resize((256, 256), Image.BILINEAR))
+        Image.fromarray(arr).save(d / name, quality=95)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def trainer(encoder):
+    cfg = TrainerConfig(hidden=64, batch_size=8, backbone="mini",
+                        compute_dtype=jnp.float32, lr=0.01, epochs=2)
+    return Trainer(encoder, cfg)
+
+
+@pytest.fixture(scope="module")
+def loaders(img_dir, encoder, overfitting_json):
+    train_ds = ImsituDataset(img_dir, overfitting_json, encoder, train=True)
+    dev_ds = ImsituDataset(img_dir, overfitting_json, encoder, train=False)
+    train = ImsituLoader(train_ds, batch_size=8, shuffle=True, seed=0)
+    dev = ImsituLoader(dev_ds, batch_size=8, shuffle=False)
+    return train, dev
+
+
+def test_overfit_smoke(trainer, loaders):
+    """BASELINE 'CPU smoke' config: loss must go down on the tiny fixture."""
+    train_loader, _ = loaders
+    _, _, first = trainer.train_epoch(train_loader, epoch=0)
+    for e in range(1, 6):
+        _, _, last = trainer.train_epoch(train_loader, epoch=e)
+    assert last[0] + last[1] < first[0] + first[1], (first, last)
+
+
+def test_evaluate_output_format(trainer, loaders, capsys):
+    _, dev_loader = loaders
+    top1, top5, val_losses, avg = trainer.evaluate(dev_loader, logging=True)
+    out = capsys.readouterr().out
+    assert re.match(
+        r"val losses = \[v: \d+\.\d\d, n: \d+\.\d\d, gt: \d+\.\d\d\]\n"
+        r"1-verb: \d+\.\d\d, 1-value: \d+\.\d\d, 1-value-all: \d+\.\d\d\n"
+        r"5-verb: \d+\.\d\d, 5-value: \d+\.\d\d, 5-value-all: \d+\.\d\d\n"
+        r"gt-value: \d+\.\d\d, gt-value-all: \d+\.\d\d, mean = \d+\.\d\d\n\n",
+        out), out
+    assert set(val_losses) == {"verb_loss", "nouns_loss", "gt_loss"}
+    assert len(top1) == 5 and len(top5) == 5
+
+
+def test_fit_one_epoch_stdout_and_checkpoint(encoder, loaders, tmp_path, capsys):
+    cfg = TrainerConfig(hidden=64, batch_size=8, backbone="mini",
+                        compute_dtype=jnp.float32, lr=0.01, epochs=1)
+    tr = Trainer(encoder, cfg)
+    train_loader, dev_loader = loaders
+    tr.fit(train_loader, dev_loader, "sr_test", str(tmp_path), plot=True)
+    out = capsys.readouterr().out
+    assert out.startswith("Epoch-0, lr: 0.0100\n")
+    assert "training losses = [v: " in out
+    assert "-" * 50 in out
+    assert os.path.exists(tmp_path / "sr_test")
+    assert os.path.exists(tmp_path / "sr_test.png")
+
+    from situation_recognition_tpu.utils.checkpoint import load_checkpoint
+    ckpt = load_checkpoint(str(tmp_path / "sr_test"))
+    assert ckpt["epoch"] == 1
+    assert len(ckpt["avg_scores"]) == 1
+    assert "head_params" in ckpt and "opt_state" in ckpt
+
+    # resume: histories restored, epoch advanced
+    cfg2 = TrainerConfig(hidden=64, batch_size=8, backbone="mini",
+                         compute_dtype=jnp.float32, lr=0.01, epochs=2)
+    tr2 = Trainer(encoder, cfg2)
+    tr2.fit(train_loader, dev_loader, "sr_test", str(tmp_path),
+            checkpoint=ckpt)
+    out2 = capsys.readouterr().out
+    assert "Epoch-1, lr:" in out2 and "Epoch-0" not in out2
+
+
+def test_partial_batch_masking(trainer, loaders):
+    """5 examples with batch_size 8: metrics must count exactly 5 points."""
+    _, dev_loader = loaders
+    top1, top5, _, _ = trainer.evaluate(dev_loader)
+    assert len(top1) == 5
+    assert len(top5) == 5
+
+
+def test_optax_adamax_matches_torch():
+    """The reference optimizer is torch.optim.Adamax (sr.py:472); optax's
+    adamax must produce the same trajectory on a quadratic."""
+    w0 = np.array([1.0, -2.0, 3.0], dtype=np.float32)
+    tw = torch.tensor(w0.copy(), requires_grad=True)
+    topt = torch.optim.Adamax([tw], lr=0.1)
+    jw = jnp.asarray(w0.copy())
+    jopt = optax.adamax(0.1)
+    jstate = jopt.init(jw)
+    for _ in range(10):
+        topt.zero_grad()
+        loss = (tw ** 2).sum()
+        loss.backward()
+        topt.step()
+        g = 2 * jw
+        upd, jstate = jopt.update(g, jstate, jw)
+        jw = optax.apply_updates(jw, upd)
+    np.testing.assert_allclose(np.asarray(jw), tw.detach().numpy(),
+                               rtol=1e-5, atol=1e-6)
