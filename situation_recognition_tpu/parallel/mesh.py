@@ -51,17 +51,16 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def head_param_sharding(mesh: Mesh, params) -> dict:
-    """Sharding tree for the FCGGNN head params: classifier kernels/biases
-    shard their output dim over ``model``; everything else replicated."""
+    """Sharding tree for the FCGGNN head params: classifier kernels shard
+    their contraction (input) dim over ``model`` — XLA emits the partial-sum
+    all-reduce — which avoids any divisibility constraint on the 504/2001
+    output dims; everything else replicated."""
 
     def spec_for(path) -> P:
         keys = [getattr(p, "key", str(p)) for p in path]
         if "verb_classifier" in keys or "nouns_classifier" in keys:
-            leaf = keys[-1]
-            if leaf == "kernel":
-                return P(None, "model")
-            if leaf == "bias":
-                return P("model")
+            if keys[-1] == "kernel":
+                return P("model", None)
         return P()
 
     return jax.tree_util.tree_map_with_path(

@@ -140,11 +140,21 @@ class Trainer:
             optax.clip_by_global_norm(1.0),
             optax.adamax(config.lr),
         )
-        self.opt_state = self.tx.init(self.head_params)
         self.step_count = 0
 
         self._repl = NamedSharding(self.mesh, P())
         self._bsh = NamedSharding(self.mesh, P("data"))
+
+        # placement: batch over 'data'; classifier kernels over 'model'
+        # (head_param_sharding); everything else replicated.  The optimizer
+        # state is built under jit so mu/nu inherit the param shardings.
+        from situation_recognition_tpu.parallel.mesh import head_param_sharding
+
+        self._head_sh = head_param_sharding(self.mesh, self.head_params)
+        self.head_params = jax.device_put(self.head_params, self._head_sh)
+        self.backbone_params = jax.device_put(self.backbone_params, self._repl)
+        self.backbone_stats = jax.device_put(self.backbone_stats, self._repl)
+        self.opt_state = jax.jit(self.tx.init)(self.head_params)
         self._build_steps()
 
     # ------------------------------------------------------------- stepping
@@ -214,16 +224,17 @@ class Trainer:
             return self._losses(outs, verbs, labels, valid), self._topk(outs)
 
         repl, bsh = self._repl, self._bsh
+        # head_params/opt_state shardings are inferred from the arrays
+        # (classifier kernels live on the model axis); batch over 'data'
         self._train_step = jax.jit(
             train_step,
-            in_shardings=(repl, repl, repl, repl, repl,
+            in_shardings=(None, None, repl, repl, repl,
                           bsh, bsh, bsh, bsh, bsh),
-            out_shardings=None,
             donate_argnums=(0, 1, 3),
         )
         self._eval_step = jax.jit(
             eval_step,
-            in_shardings=(repl, repl, repl, bsh, bsh, bsh, bsh),
+            in_shardings=(None, repl, repl, bsh, bsh, bsh, bsh),
         )
 
         # single-device inference paths (results/analize_subset modes):
