@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Benchmark: flagship train-step throughput (images/sec/chip).
+
+Measures the full jitted training step — device-side uint8 preprocessing,
+one frozen ResNet-152 bf16 forward, stacked FCGGNN head forward+backward,
+masked losses, adamax update, on-device top-k — on synthetic device-resident
+batches, steady-state after compile.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference (vFones/situation-recognition) publishes no
+throughput numbers (BASELINE.md).  The denominator is a documented estimate
+of its per-GPU rate: the reference runs 3 full ResNet-152 passes per step
+(model.py:171-180) plus per-batch host-side Python adjacency/role loops and
+DataParallel scatter/gather; a V100-class GPU sustains ~700 img/s fp16 on
+single-pass ResNet-152 inference, so the reference is bounded by ~233 img/s
+per GPU before host overheads.  REFERENCE_IMG_PER_SEC_PER_CHIP = 200 is the
+generous estimate used here (BASELINE target: >= 8x this).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REFERENCE_IMG_PER_SEC_PER_CHIP = 200.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from situation_recognition_tpu.data.encoder import ImsituEncoder
+    from situation_recognition_tpu.parallel.mesh import make_mesh
+    from situation_recognition_tpu.train import Trainer, TrainerConfig
+
+    on_tpu = jax.default_backend() == "tpu"
+    # per-chip batch: reference global 6144 over 8 chips = 768/chip
+    batch = int(os.environ.get("BENCH_BATCH", 768 if on_tpu else 8))
+    steps = int(os.environ.get("BENCH_STEPS", 20 if on_tpu else 3))
+    backbone = os.environ.get("BENCH_BACKBONE",
+                              "resnet152" if on_tpu else "mini")
+
+    # full-size synthetic vocab: 504 verbs / 190 roles / 2001 labels / R=6
+    # (the tiny fixture would understate the classifier + GGNN width)
+    encoder = ImsituEncoder(None)
+    encoder.verb_list = [f"v{i}" for i in range(504)]
+    encoder.role_list = [f"r{i}" for i in range(190)]
+    encoder.label_list = [f"n{i}" for i in range(2001)]
+    rng0 = np.random.default_rng(0)
+    encoder.roles_per_verb = {
+        v: [f"r{j}" for j in rng0.choice(190, size=rng0.integers(1, 7),
+                                         replace=False)]
+        for v in encoder.verb_list}
+    encoder.max_role_count = 6
+    encoder._build_tables()
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh(num_devices=n_dev)
+    cfg = TrainerConfig(
+        hidden=2048 if backbone != "mini" else 64,
+        batch_size=batch * mesh.shape["data"],
+        backbone=backbone,
+        compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+    )
+    trainer = Trainer(encoder, cfg, mesh=mesh)
+
+    B = cfg.batch_size
+    rng = np.random.default_rng(0)
+    batch_host = {
+        "images": rng.integers(0, 255, (B, 256, 256, 3), dtype=np.uint8),
+        "flip": rng.random(B) < 0.5,
+        "verbs": rng.integers(0, encoder.get_num_verbs(), B).astype(np.int32),
+        "labels": rng.integers(0, encoder.get_num_labels(),
+                               (B, 3, encoder.max_role_count)).astype(np.int32),
+    }
+    arrays, valid, _ = trainer._pad_batch(batch_host)
+    arrays = {k: jax.device_put(v, trainer._bsh) for k, v in arrays.items()}
+    valid = jax.device_put(valid, trainer._bsh)
+
+    def step(i):
+        key = jax.random.fold_in(jax.random.PRNGKey(0), i)
+        out = trainer._train_step(
+            trainer.head_params, trainer.opt_state, trainer.backbone_params,
+            trainer.backbone_stats, key, arrays["images"], arrays["flip"],
+            arrays["verbs"], arrays["labels"], valid)
+        (trainer.head_params, trainer.opt_state, trainer.backbone_stats,
+         losses, topk) = out
+        return losses
+
+    # warmup/compile; synchronize via host transfer (block_until_ready does
+    # not reliably wait through the remote TPU tunnel)
+    losses = step(0)
+    float(losses[0])
+    losses = step(1)
+    float(losses[0])
+
+    t0 = time.perf_counter()
+    for i in range(2, 2 + steps):
+        losses = step(i)
+    sync = float(losses[0])
+    dt = time.perf_counter() - t0
+    assert np.isfinite(sync)
+
+    img_per_sec = B * steps / dt
+    img_per_sec_per_chip = img_per_sec / n_dev
+    print(json.dumps({
+        "metric": "train_images_per_sec_per_chip",
+        "value": round(img_per_sec_per_chip, 2),
+        "unit": "img/s/chip",
+        "vs_baseline": round(img_per_sec_per_chip
+                             / REFERENCE_IMG_PER_SEC_PER_CHIP, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -45,10 +45,14 @@ def torch_linear_init(bound: float):
 
 
 class GGNN(nn.Module):
-    """Linen wrapper owning the 7 dense layers of ops.ggnn (model.py:46-56)."""
+    """Linen wrapper owning the 7 dense layers of ops.ggnn (model.py:46-56).
+
+    Params are stored fp32; ``dtype`` casts them for compute (bf16 keeps the
+    2048x2048 matmuls on the MXU fast path — fp32 matmuls cost ~8x)."""
 
     hidden: int
     num_steps: int = 4
+    dtype: Any = jnp.float32
 
     def setup(self):
         d = self.hidden
@@ -58,17 +62,18 @@ class GGNN(nn.Module):
         for n in names:
             ws[n] = self.param(n, w_init, (d, d))
             bs[n] = self.param("b_" + n, w_init, (d,))
-        self._p = GGNNParams(
-            ws["w_p"], bs["w_p"],
-            ws["w_z"], bs["w_z"], ws["u_z"], bs["u_z"],
-            ws["w_r"], bs["w_r"], ws["u_r"], bs["u_r"],
-            ws["w_h"], bs["w_h"], ws["u_h"], bs["u_h"])
+        self._p = GGNNParams(*(
+            t.astype(self.dtype)
+            for pair in zip((ws[n] for n in names), (bs[n] for n in names))
+            for t in pair))
 
     def propagate(self, hidden, mask):
-        return ggnn_propagate(self._p, hidden, mask, self.num_steps)
+        return ggnn_propagate(self._p, hidden.astype(self.dtype), mask,
+                              self.num_steps)
 
     def propagate_verb(self, hidden):
-        return ggnn_propagate_verb(self._p, hidden, self.num_steps)
+        return ggnn_propagate_verb(self._p, hidden.astype(self.dtype),
+                                   self.num_steps)
 
 
 class FCGGNNHead(nn.Module):
@@ -99,7 +104,7 @@ class FCGGNNHead(nn.Module):
             "role_emb", role_emb_init, (self.num_roles + 1, D))
         self.verb_emb = self.param(
             "verb_emb", jax.nn.initializers.normal(1.0), (self.num_verbs, D))
-        self.ggnn = GGNN(hidden=D, num_steps=self.num_steps)
+        self.ggnn = GGNN(hidden=D, num_steps=self.num_steps, dtype=self.dtype)
         self.verb_dropout = nn.Dropout(self.dropout_rate)
         self.nouns_dropout = nn.Dropout(self.dropout_rate)
         init = torch_linear_init(1.0 / math.sqrt(D))
