@@ -53,6 +53,7 @@ class GGNN(nn.Module):
     hidden: int
     num_steps: int = 4
     dtype: Any = jnp.float32
+    impl: str = "masked"   # masked (XLA, default — fastest measured) | pallas
 
     def setup(self):
         d = self.hidden
@@ -67,13 +68,31 @@ class GGNN(nn.Module):
             for pair in zip((ws[n] for n in names), (bs[n] for n in names))
             for t in pair))
 
+    def _pallas(self, hidden, mask):
+        import jax as _jax
+
+        from situation_recognition_tpu.ops.ggnn_pallas import (
+            ggnn_propagate_pallas)
+
+        interpret = _jax.default_backend() != "tpu"
+        return ggnn_propagate_pallas(self._p, hidden, mask, self.num_steps,
+                                     interpret)
+
     def propagate(self, hidden, mask):
-        return ggnn_propagate(self._p, hidden.astype(self.dtype), mask,
-                              self.num_steps)
+        hidden = hidden.astype(self.dtype)
+        if self.impl == "pallas":
+            return self._pallas(hidden, mask)
+        return ggnn_propagate(self._p, hidden, mask, self.num_steps)
 
     def propagate_verb(self, hidden):
-        return ggnn_propagate_verb(self._p, hidden.astype(self.dtype),
-                                   self.num_steps)
+        hidden = hidden.astype(self.dtype)
+        if self.impl == "pallas":
+            # single-node graphs: mask 0 makes every node self-message (n=p),
+            # exactly the reference verb branch (model.py:62-64)
+            out = self._pallas(hidden[:, None, :],
+                               jnp.zeros(hidden.shape[:1] + (1,), jnp.float32))
+            return out[:, 0, :]
+        return ggnn_propagate_verb(self._p, hidden, self.num_steps)
 
 
 class FCGGNNHead(nn.Module):
@@ -91,6 +110,7 @@ class FCGGNNHead(nn.Module):
     num_steps: int = 4
     dropout_rate: float = 0.5
     dtype: Any = jnp.float32
+    ggnn_impl: str = "masked"
 
     def setup(self):
         D = self.hidden
@@ -104,7 +124,8 @@ class FCGGNNHead(nn.Module):
             "role_emb", role_emb_init, (self.num_roles + 1, D))
         self.verb_emb = self.param(
             "verb_emb", jax.nn.initializers.normal(1.0), (self.num_verbs, D))
-        self.ggnn = GGNN(hidden=D, num_steps=self.num_steps, dtype=self.dtype)
+        self.ggnn = GGNN(hidden=D, num_steps=self.num_steps,
+                         dtype=self.dtype, impl=self.ggnn_impl)
         self.verb_dropout = nn.Dropout(self.dropout_rate)
         self.nouns_dropout = nn.Dropout(self.dropout_rate)
         init = torch_linear_init(1.0 / math.sqrt(D))

@@ -116,6 +116,7 @@ class Trainer:
             hidden=config.hidden,
             num_steps=config.num_ggnn_steps,
             dtype=dt,
+            ggnn_impl=config.ggnn_impl,
         )
         self.role_ids = jnp.asarray(encoder.role_ids)
         self.role_mask = jnp.asarray(encoder.role_mask)
