@@ -83,7 +83,12 @@ class ImsituLoader:
 
     def __init__(self, dataset: ImsituDataset, batch_size: int,
                  shuffle: bool, seed: int = 0, num_workers: int = 2,
-                 prefetch: int = 2, drop_last: bool = False):
+                 prefetch: int = 2, drop_last: bool = False,
+                 decoder: str = "auto"):
+        """``decoder``: 'native' (C++ libjpeg batch decode), 'python'
+        (PIL per image), or 'auto' (native when buildable, else python).
+        The two decoders draw augmentations from different deterministic
+        streams (see data/native_decoder.py)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -92,6 +97,11 @@ class ImsituLoader:
         self.prefetch = prefetch
         self.drop_last = drop_last
         self.epoch = 0
+        if decoder == "auto":
+            from situation_recognition_tpu.data import native_decoder
+
+            decoder = "native" if native_decoder.available() else "python"
+        self.decoder = decoder
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -112,6 +122,8 @@ class ImsituLoader:
         ds = self.dataset
         B = len(indices)
         R = ds.encoder.max_role_count
+        if self.decoder == "native" and ds._decoded_cache is None:
+            return self._make_batch_native(indices)
         images = np.empty((B, 256, 256, 3), dtype=np.uint8)
         flip = np.zeros((B,), dtype=bool)
         errors: List[BaseException] = []
@@ -149,6 +161,32 @@ class ImsituLoader:
             "verbs": ds.verbs[indices],
             "labels": ds.labels[indices],
             "flip": flip,
+        }
+
+    def _make_batch_native(self, indices: np.ndarray) -> Dict:
+        """One C call decodes the whole batch; PIL fallback per failure."""
+        from situation_recognition_tpu.data import native_decoder
+
+        ds = self.dataset
+        paths = [os.path.join(ds.img_dir, ds.names[int(i)]) for i in indices]
+        images, flips, failed = native_decoder.decode_window_batch(
+            paths, ds.train, self.seed, self.epoch,
+            [int(i) for i in indices], num_threads=self.num_workers)
+        if not ds.train:
+            flips = np.zeros((len(indices),), dtype=bool)
+        for slot in np.nonzero(failed)[0]:
+            idx = int(indices[slot])
+            rng = (np.random.default_rng((self.seed, self.epoch, idx))
+                   if ds.train else None)
+            images[slot] = ds.load_window(idx, rng)
+            if ds.train:
+                flips[slot] = rng.random() < 0.5
+        return {
+            "names": [ds.names[int(i)] for i in indices],
+            "images": images,
+            "verbs": ds.verbs[indices],
+            "labels": ds.labels[indices],
+            "flip": flips,
         }
 
     def __iter__(self) -> Iterator[Dict]:

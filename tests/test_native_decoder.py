@@ -1,0 +1,88 @@
+"""Native C++ batch decoder tests: parity with the PIL path, determinism,
+failure fallback, and loader integration."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from situation_recognition_tpu.data import native_decoder
+from situation_recognition_tpu.data.dataset import ImsituDataset, ImsituLoader
+
+pytestmark = pytest.mark.skipif(
+    not native_decoder.available(), reason="native decoder not buildable")
+
+
+@pytest.fixture(scope="module")
+def img_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("imgs")
+    fixture = os.path.join(os.path.dirname(__file__), "fixtures",
+                           "overfitting.json")
+    with open(fixture) as f:
+        names = list(json.load(f).keys())
+    rng = np.random.default_rng(0)
+    sizes = [(256, 256), (256, 384), (320, 256), (256, 300), (400, 256)]
+    for name, (h, w) in zip(names, sizes):
+        low = rng.integers(0, 255, size=(8, 8, 3), dtype=np.uint8)
+        arr = np.asarray(Image.fromarray(low).resize((w, h), Image.BILINEAR))
+        Image.fromarray(arr).save(d / name, quality=95)
+    return str(d)
+
+
+def test_eval_windows_match_pil_path(img_dir, encoder, overfitting_json):
+    """Center windows on shorter-side-256 images must be byte-identical to
+    the PIL path (same libjpeg underneath, pure slicing after decode)."""
+    ds = ImsituDataset(img_dir, overfitting_json, encoder, train=False)
+    paths = [os.path.join(img_dir, n) for n in ds.names]
+    images, flips, failed = native_decoder.decode_window_batch(
+        paths, False, 0, 0, list(range(len(paths))))
+    assert not failed.any()
+    for i in range(len(ds)):
+        want = ds.load_window(i, None)
+        np.testing.assert_array_equal(images[i], want)
+
+
+def test_train_windows_deterministic(img_dir):
+    paths = [os.path.join(img_dir, n) for n in sorted(os.listdir(img_dir))]
+    a, fa, _ = native_decoder.decode_window_batch(paths, True, 7, 3, [0, 1, 2, 3, 4])
+    b, fb, _ = native_decoder.decode_window_batch(paths, True, 7, 3, [0, 1, 2, 3, 4])
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(fa, fb)
+    c, fc, _ = native_decoder.decode_window_batch(paths, True, 7, 4, [0, 1, 2, 3, 4])
+    assert not np.array_equal(a, c) or not np.array_equal(fa, fc)
+
+
+def test_failed_decode_reported(tmp_path, img_dir):
+    bad = tmp_path / "bad.jpg"
+    bad.write_bytes(b"not a jpeg")
+    good = os.path.join(img_dir, sorted(os.listdir(img_dir))[0])
+    images, _, failed = native_decoder.decode_window_batch(
+        [str(bad), good], False, 0, 0, [0, 1])
+    assert failed[0] and not failed[1]
+
+
+def test_loader_native_vs_python_eval(img_dir, encoder, overfitting_json):
+    ds = ImsituDataset(img_dir, overfitting_json, encoder, train=False)
+    ln = ImsituLoader(ds, batch_size=5, shuffle=False, decoder="native")
+    lp = ImsituLoader(ds, batch_size=5, shuffle=False, decoder="python")
+    assert ln.decoder == "native"
+    bn, bp = next(iter(ln)), next(iter(lp))
+    np.testing.assert_array_equal(bn["images"], bp["images"])
+    np.testing.assert_array_equal(bn["verbs"], bp["verbs"])
+
+
+def test_loader_native_fallback_on_corrupt(tmp_path, encoder, overfitting_json, img_dir):
+    import shutil
+
+    d = tmp_path / "imgs"
+    shutil.copytree(img_dir, d)
+    names = list(overfitting_json.keys())
+    # corrupt one file: loader must fall back to PIL, which also fails ->
+    # error propagates cleanly
+    (d / names[0]).write_bytes(b"junk")
+    ds = ImsituDataset(str(d), overfitting_json, encoder, train=False)
+    loader = ImsituLoader(ds, batch_size=5, shuffle=False, decoder="native")
+    with pytest.raises(Exception):
+        list(loader)
