@@ -66,7 +66,8 @@ def build_parser() -> ArgumentParser:
 
     # --- TPU-native additions (not in the reference CLI) ---
     parser.add_argument('--backbone', type=str, default='resnet152',
-                        choices=['resnet50', 'resnet101', 'resnet152', 'mini'],
+                        choices=['resnet50', 'resnet101', 'resnet152', 'mini',
+                                 'vit_l14', 'vit_b16', 'vit_tiny'],
                         help='Backbone architecture')
     parser.add_argument('--precision', type=str, default='auto',
                         choices=['auto', 'bf16', 'fp32'],
@@ -188,7 +189,11 @@ def main(argv=None) -> None:
         print(f'[srtpu] batch_size rounded up to {batch} '
               f'(divisible by data axis {ndata})')
 
-    hidden = 2048 if args.backbone != 'mini' else 64
+    from situation_recognition_tpu.models.vit import VIT_WIDTHS
+    if args.backbone in VIT_WIDTHS:
+        hidden = VIT_WIDTHS[args.backbone]
+    else:
+        hidden = 2048 if args.backbone != 'mini' else 64
     cfg = TrainerConfig(
         hidden=hidden, lr=args.lr, batch_size=batch, epochs=args.epochs,
         backbone=args.backbone, compute_dtype=dtype, seed=args.seed,

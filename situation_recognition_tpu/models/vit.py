@@ -1,0 +1,101 @@
+"""Vision Transformer backbones (stretch config, BASELINE.json: "ViT-L/14
+backbone swap feeding the same GGNN role graph").
+
+Drop-in alternative to the ResNet feature extractor: ``__call__(x, train)``
+returns pooled features (the CLS token), consumed by the same FCGGNN head.
+The head's hidden size equals the backbone feature width (1024 for ViT-L),
+mirroring how the reference ties D_hidden_state to its backbone's 2048-d
+features (model.py:90-101).
+
+TPU notes: seq len 257 (16x16 patches + CLS) at width 1024 — attention is
+tiny; plain jnp einsum attention lowers to well-fused XLA (no flash/CP
+machinery warranted, SURVEY §5g).  bf16 compute, fp32 params, LayerNorm in
+fp32 for stability.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class MlpBlock(nn.Module):
+    dim: int
+    hidden: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x)
+        return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
+
+
+class EncoderBlock(nn.Module):
+    dim: int
+    heads: int
+    mlp_ratio: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = nn.LayerNorm(dtype=jnp.float32, name="ln1")(x)
+        y = nn.MultiHeadDotProductAttention(
+            num_heads=self.heads, dtype=self.dtype, name="attn")(y, y)
+        x = x + y
+        y = nn.LayerNorm(dtype=jnp.float32, name="ln2")(x)
+        y = MlpBlock(self.dim, self.dim * self.mlp_ratio,
+                     dtype=self.dtype, name="mlp")(y)
+        return x + y
+
+
+class ViT(nn.Module):
+    """Pre-LN ViT returning the final-LN CLS token as pooled features."""
+
+    patch: int
+    width: int
+    depth: int
+    heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        B, H, W, _ = x.shape
+        x = x.astype(self.dtype)
+        x = nn.Conv(self.width, (self.patch, self.patch),
+                    strides=(self.patch, self.patch), padding="VALID",
+                    dtype=self.dtype, name="patch_embed")(x)
+        x = x.reshape(B, -1, self.width)                    # (B, N, D)
+        cls = self.param("cls_token", nn.initializers.zeros,
+                         (1, 1, self.width))
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls, (B, 1, self.width)).astype(self.dtype), x],
+            axis=1)
+        n_tokens = x.shape[1]
+        pos = self.param("pos_embed",
+                         nn.initializers.normal(0.02),
+                         (1, n_tokens, self.width))
+        x = x + pos.astype(self.dtype)
+        for i in range(self.depth):
+            x = EncoderBlock(self.width, self.heads, dtype=self.dtype,
+                             name=f"block{i}")(x, train=train)
+        x = nn.LayerNorm(dtype=jnp.float32, name="ln_final")(x)
+        return x[:, 0, :].astype(self.dtype)                # CLS token
+
+
+def vit_l14(dtype=jnp.float32) -> ViT:
+    return ViT(patch=14, width=1024, depth=24, heads=16, dtype=dtype)
+
+
+def vit_b16(dtype=jnp.float32) -> ViT:
+    return ViT(patch=16, width=768, depth=12, heads=12, dtype=dtype)
+
+
+def vit_tiny(dtype=jnp.float32) -> ViT:
+    """Test-sized ViT (width 64 matches the mini head hidden)."""
+    return ViT(patch=32, width=64, depth=2, heads=2, dtype=dtype)
+
+
+VIT_WIDTHS = {"vit_l14": 1024, "vit_b16": 768, "vit_tiny": 64}

@@ -42,6 +42,7 @@ from situation_recognition_tpu.data.transforms import device_transform
 from situation_recognition_tpu.metrics.scorer import ImsituScorer, mean_of_eight
 from situation_recognition_tpu.models.fcggnn import FCGGNNHead
 from situation_recognition_tpu.models.resnet import ResNet
+from situation_recognition_tpu.models.vit import VIT_WIDTHS, vit_b16, vit_l14, vit_tiny
 from situation_recognition_tpu.parallel.mesh import make_mesh
 from situation_recognition_tpu.utils.logging import StepTimer, format_dict
 
@@ -60,12 +61,31 @@ class TrainerConfig:
     ggnn_impl: str = "masked"            # masked | pallas
 
 
-_BACKBONES = {
+_RESNETS = {
     "resnet50": (3, 4, 6, 3),
     "resnet101": (3, 4, 23, 3),
     "resnet152": (3, 8, 36, 3),
     "mini": (1, 1, 1, 1),
 }
+_VITS = {"vit_l14": vit_l14, "vit_b16": vit_b16, "vit_tiny": vit_tiny}
+
+
+def build_backbone(name: str, dtype, hidden: int):
+    """name → (module, has_batchnorm).  The head hidden size must equal the
+    backbone feature width (ResNet: base_width*32; ViT: its width) — the
+    reference ties D_hidden_state to its backbone features the same way."""
+    if name in _RESNETS:
+        if hidden % 32 != 0:
+            raise ValueError("hidden must be a multiple of 32 for ResNets")
+        return ResNet(stage_sizes=_RESNETS[name], dtype=dtype,
+                      base_width=hidden // 32), True
+    if name in _VITS:
+        if hidden != VIT_WIDTHS[name]:
+            raise ValueError(
+                f"{name} produces {VIT_WIDTHS[name]}-d features; "
+                f"set hidden={VIT_WIDTHS[name]} (got {hidden})")
+        return _VITS[name](dtype=dtype), False
+    raise ValueError(f"unknown backbone {name!r}")
 
 
 def _masked_verb_loss(pred_verb, gt_verb, valid):
@@ -102,12 +122,8 @@ class Trainer:
                 f"batch_size {config.batch_size} not divisible by data axis {ndata}")
 
         dt = config.compute_dtype
-        # feature dim = base_width * 32 must equal the head hidden size (the
-        # reference ties D_hidden_state to the backbone's 2048-d features)
-        if config.hidden % 32 != 0:
-            raise ValueError("hidden must be a multiple of 32")
-        self.backbone = ResNet(stage_sizes=_BACKBONES[config.backbone],
-                               dtype=dt, base_width=config.hidden // 32)
+        self.backbone, self._backbone_has_bn = build_backbone(
+            config.backbone, dt, config.hidden)
         self.head = FCGGNNHead(
             num_verbs=encoder.get_num_verbs(),
             num_roles=encoder.get_num_roles(),
@@ -127,7 +143,7 @@ class Trainer:
         if backbone_variables is None:
             backbone_variables = self.backbone.init(bkey, img_stub, train=False)
         self.backbone_params = backbone_variables["params"]
-        self.backbone_stats = backbone_variables["batch_stats"]
+        self.backbone_stats = backbone_variables.get("batch_stats", {})
         if head_params is None:
             feat_stub = jnp.zeros((1, config.hidden), jnp.float32)
             head_params = self.head.init(
@@ -164,7 +180,11 @@ class Trainer:
                  images, flip, verbs, train, dropout_key):
         x = device_transform(images, flip if train else None,
                              dtype=self.config.compute_dtype)
-        if train:
+        if not self._backbone_has_bn:
+            feats = self.backbone.apply(
+                {"params": backbone_params}, x, train=train)
+            new_stats = backbone_stats
+        elif train:
             feats, updates = self.backbone.apply(
                 {"params": backbone_params, "batch_stats": backbone_stats},
                 x, train=True, mutable=["batch_stats"])
@@ -240,20 +260,22 @@ class Trainer:
 
         # single-device inference paths (results/analize_subset modes):
         # batch-1 inputs, eval-mode BN, 2 backbone passes like the reference
-        def infer_verb(head_params, backbone_params, backbone_stats, images):
+        def _infer_feats(backbone_params, backbone_stats, images):
             x = device_transform(images, None, dtype=self.config.compute_dtype)
-            feats = self.backbone.apply(
-                {"params": backbone_params, "batch_stats": backbone_stats},
-                x, train=False).astype(jnp.float32)
+            variables = {"params": backbone_params}
+            if self._backbone_has_bn:
+                variables["batch_stats"] = backbone_stats
+            return self.backbone.apply(
+                variables, x, train=False).astype(jnp.float32)
+
+        def infer_verb(head_params, backbone_params, backbone_stats, images):
+            feats = _infer_feats(backbone_params, backbone_stats, images)
             return self.head.apply({"params": head_params}, feats,
                                    method=self.head.predict_verb)
 
         def infer_nouns(head_params, backbone_params, backbone_stats,
                         images, verb_ids):
-            x = device_transform(images, None, dtype=self.config.compute_dtype)
-            feats = self.backbone.apply(
-                {"params": backbone_params, "batch_stats": backbone_stats},
-                x, train=False).astype(jnp.float32)
+            feats = _infer_feats(backbone_params, backbone_stats, images)
             return self.head.apply(
                 {"params": head_params}, feats, verb_ids,
                 self.role_ids, self.role_mask,
