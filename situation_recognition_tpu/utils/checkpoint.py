@@ -32,6 +32,22 @@ def save_checkpoint(path: str, state: Dict[str, Any]) -> None:
     os.replace(tmp, path)
 
 
+HISTORY_KEYS = ("avg_scores", "verb_losses", "nouns_losses",
+                "val_avg_scores", "val_verb_losses", "val_nouns_losses")
+
+
+def history_list(x) -> list:
+    """flax to_state_dict serializes lists as {'0': v0, '1': v1, ...};
+    restore the list (ordered by integer key)."""
+    if isinstance(x, dict):
+        return [float(x[k]) for k in sorted(x, key=int)]
+    return [float(v) for v in x]
+
+
 def load_checkpoint(path: str) -> Dict[str, Any]:
     with open(path, "rb") as f:
-        return serialization.msgpack_restore(f.read())
+        state = serialization.msgpack_restore(f.read())
+    for k in HISTORY_KEYS:
+        if k in state:
+            state[k] = history_list(state[k])
+    return state

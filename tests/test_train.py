@@ -99,6 +99,12 @@ def test_fit_one_epoch_stdout_and_checkpoint(encoder, loaders, tmp_path, capsys)
             checkpoint=ckpt)
     out2 = capsys.readouterr().out
     assert "Epoch-1, lr:" in out2 and "Epoch-0" not in out2
+    # histories restored as real lists (msgpack turns lists into index
+    # dicts; load_checkpoint must canonicalize) and appended to
+    ckpt2 = load_checkpoint(str(tmp_path / "sr_test"))
+    assert ckpt2["epoch"] == 2
+    assert isinstance(ckpt2["avg_scores"], list)
+    assert len(ckpt2["avg_scores"]) == 2
 
 
 def test_partial_batch_masking(trainer, loaders):

@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Convert torch checkpoints to this framework's formats.
+
+Usage:
+  # torchvision ResNet state_dict (e.g. resnet152-f82ba261.pth) →
+  # backbone msgpack consumed by --backbone_ckpt / <saving_folder>/backbone.msgpack
+  python tools/convert_torch.py backbone resnet152.pth backbone.msgpack
+
+  # full reference checkpoint (resnet152_sr) → framework resume checkpoint
+  python tools/convert_torch.py checkpoint resnet152_sr sr_converted
+
+The reference checkpoint's epoch + metric histories are carried over so
+``--resume_model sr_converted`` resumes exactly where the torch run stopped
+(optimizer state starts fresh: torch Adamax state is not transferable).
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("mode", choices=["backbone", "checkpoint"])
+    ap.add_argument("src", help="torch .pth/.pt file")
+    ap.add_argument("dst", help="output path")
+    args = ap.parse_args()
+
+    import numpy as np
+    from flax import serialization
+
+    from situation_recognition_tpu.utils import torch_convert
+    from situation_recognition_tpu.utils.checkpoint import save_checkpoint
+
+    if args.mode == "backbone":
+        sd = torch_convert.load_torch_file(args.src)
+        prefix = "convnet_nouns.model." if any(
+            k.startswith("convnet_nouns.") for k in sd) else ""
+        params, stats = torch_convert.convert_resnet(sd, prefix=prefix)
+        with open(args.dst, "wb") as f:
+            f.write(serialization.msgpack_serialize(
+                {"params": params, "batch_stats": stats}))
+        print(f"wrote backbone ({sum(np.asarray(x).size for x in _leaves(params)):,} params) -> {args.dst}")
+    else:
+        import torch
+
+        raw = torch.load(args.src, map_location="cpu", weights_only=False)
+        sd = {k: np.asarray(v.detach().cpu().numpy())
+              for k, v in raw["model_state_dict"].items()}
+        bparams, bstats, head = torch_convert.convert_reference_checkpoint(sd)
+        ckpt = {
+            "epoch": int(raw.get("epoch", 0)),
+            "avg_scores": list(raw.get("avg_scores", [])),
+            "verb_losses": list(raw.get("verb_losses", [])),
+            "nouns_losses": list(raw.get("nouns_losses", [])),
+            "val_avg_scores": list(raw.get("val_avg_scores", [])),
+            "val_verb_losses": list(raw.get("val_verb_losses", [])),
+            "val_nouns_losses": list(raw.get("val_nouns_losses", [])),
+            "head_params": head,
+            "backbone_params": bparams,
+            "backbone_stats": bstats,
+            "opt_state": None,
+        }
+        save_checkpoint(args.dst, ckpt)
+        print(f"wrote checkpoint (epoch {ckpt['epoch']}) -> {args.dst}")
+
+
+def _leaves(tree):
+    if isinstance(tree, dict):
+        for v in tree.values():
+            yield from _leaves(v)
+    else:
+        yield tree
+
+
+if __name__ == "__main__":
+    main()
