@@ -198,6 +198,28 @@ class ImsituEncoder:
         """(B, R) binary role mask per verb (imsitu_encoder.py:231-240)."""
         return self.role_mask[np.asarray(verb_ids)]
 
+    # ------------------------------------------------------------ transforms
+
+    def dev_transform(self, img) -> np.ndarray:
+        """Eval preprocessing for one PIL image / HWC uint8 array →
+        normalized (224, 224, 3) float32 (reference imsitu_encoder.py:31-36:
+        Resize(224) + CenterCrop(224) + ToTensor + Normalize, realized as
+        center 256-window + device resize; see data/transforms.py)."""
+        from situation_recognition_tpu.data import transforms as T
+
+        window = T.host_window(np.asarray(img), train=False)
+        return np.asarray(T.eval_transform(window[None]))[0]
+
+    def train_transform(self, img, rng=None) -> np.ndarray:
+        """Train preprocessing (random crop + flip) for one image
+        (reference imsitu_encoder.py:21-29)."""
+        from situation_recognition_tpu.data import transforms as T
+
+        rng = rng or np.random.default_rng()
+        window = T.host_window(np.asarray(img), train=True, rng=rng)
+        flip = np.asarray([rng.random() < 0.5])
+        return np.asarray(T.device_transform(window[None], flip))[0]
+
     # --------------------------------------------------------- serialization
 
     def to_dict(self) -> dict:

@@ -311,6 +311,22 @@ class Trainer:
         }
         return out, valid, n
 
+    def _device_batches(self, loader):
+        """Iterate (device_arrays, device_valid, host_batch, n) with the
+        NEXT batch's host→device transfer issued before the current batch is
+        consumed (double-buffered device_put; with JAX's async dispatch the
+        transfer overlaps the in-flight step's compute)."""
+        pending = None
+        for batch in loader:
+            arrays, valid, n = self._pad_batch(batch)
+            dev = ({k: jax.device_put(v, self._bsh) for k, v in arrays.items()},
+                   jax.device_put(valid, self._bsh), batch, n)
+            if pending is not None:
+                yield pending
+            pending = dev
+        if pending is not None:
+            yield pending
+
     # ------------------------------------------------------------ epoch API
 
     def train_epoch(self, loader, epoch: int,
@@ -321,8 +337,7 @@ class Trainer:
         top5 = ImsituScorer(self.encoder, 5, 3)
         sums = np.zeros(3)
         num_batches = 0
-        for batch in loader:
-            arrays, valid, n = self._pad_batch(batch)
+        for arrays, valid, batch, n in self._device_batches(loader):
             key = jax.random.fold_in(self._dropout_base, self.step_count)
             if timer:
                 timer.start()
@@ -350,8 +365,7 @@ class Trainer:
         top5 = ImsituScorer(self.encoder, 5, 3)
         sums = np.zeros(3)
         num_batches = 0
-        for batch in loader:
-            arrays, valid, n = self._pad_batch(batch)
+        for arrays, valid, batch, n in self._device_batches(loader):
             losses, topk = self._eval_step(
                 self.head_params, self.backbone_params, self.backbone_stats,
                 arrays["images"], arrays["verbs"], arrays["labels"], valid)
@@ -403,10 +417,26 @@ class Trainer:
                 histories[k] = list(checkpoint[k])
             self.load_model_state(checkpoint)
 
+        import sys
+
+        from situation_recognition_tpu.utils.logging import jax_profile_trace
+
+        profile_dir = os.environ.get("SRTPU_PROFILE_DIR")
+        if timer is None:
+            timer = StepTimer()
+
         for e in range(epoch, self.config.epochs):
             print('Epoch-{}, lr: {:.4f}'.format(e, self.config.lr))
-            top1, top5, (vloss, nloss, gloss) = self.train_epoch(
-                train_loader, e, timer=timer)
+            timer.reset()
+            with jax_profile_trace(profile_dir if e == epoch else None):
+                top1, top5, (vloss, nloss, gloss) = self.train_epoch(
+                    train_loader, e, timer=timer)
+            if timer.images_per_sec > 0:
+                # observability the reference lacks (SURVEY §5a); stderr so
+                # stdout stays byte-compatible with the reference transcripts
+                print(f'[srtpu] epoch {e}: {timer.images_per_sec:.0f} img/s, '
+                      f'{timer.mean_step_time * 1000:.0f} ms/step',
+                      file=sys.stderr)
 
             top1_a = top1.get_average_results_both()
             top5_a = top5.get_average_results_both()
@@ -467,14 +497,26 @@ class Trainer:
         }
 
     def load_model_state(self, state: dict) -> None:
+        """Tolerant name-matched restore (reference ``utils.load_net``
+        semantics: absent keys warn '[Missed]' and keep current values)."""
         from flax import serialization
 
-        self.head_params = serialization.from_state_dict(
-            self.head_params, state["head_params"])
-        self.backbone_params = serialization.from_state_dict(
-            self.backbone_params, state["backbone_params"])
-        self.backbone_stats = serialization.from_state_dict(
-            self.backbone_stats, state["backbone_stats"])
-        if "opt_state" in state and state["opt_state"] is not None:
+        from situation_recognition_tpu.utils.checkpoint import restore_tolerant
+
+        self.head_params = restore_tolerant(
+            jax.device_get(self.head_params), state.get("head_params"),
+            "head_params")
+        self.backbone_params = restore_tolerant(
+            jax.device_get(self.backbone_params),
+            state.get("backbone_params"), "backbone_params")
+        self.backbone_stats = restore_tolerant(
+            jax.device_get(self.backbone_stats),
+            state.get("backbone_stats"), "backbone_stats")
+        self.head_params = jax.device_put(self.head_params, self._head_sh)
+        self.backbone_params = jax.device_put(self.backbone_params, self._repl)
+        self.backbone_stats = jax.device_put(self.backbone_stats, self._repl)
+        if state.get("opt_state") is not None:
             self.opt_state = serialization.from_state_dict(
                 self.opt_state, state["opt_state"])
+        else:
+            self.opt_state = jax.jit(self.tx.init)(self.head_params)

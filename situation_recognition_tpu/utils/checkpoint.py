@@ -44,6 +44,32 @@ def history_list(x) -> list:
     return [float(v) for v in x]
 
 
+def restore_tolerant(target, state, prefix: str = "") -> Any:
+    """Name-matched parameter copy (reference ``utils.load_net``,
+    utils/utils.py:5-31): leaves present in ``state`` (with matching shape)
+    replace the target's; absent keys keep the target value and print
+    ``[Missed]: <path> <shape>``; shape mismatches print ``[Mismatch]`` and
+    keep the target.  Works on nested dict trees."""
+    if not isinstance(target, dict):
+        t = np.asarray(target)
+        s = np.asarray(state)
+        if s.shape != t.shape:
+            print(f"[Mismatch]: {prefix} {t.shape} vs {s.shape}")
+            return target
+        return s.astype(t.dtype) if s.dtype != t.dtype else s
+    out = {}
+    state = state if isinstance(state, dict) else {}
+    for k, v in target.items():
+        path = f"{prefix}.{k}" if prefix else str(k)
+        if k in state:
+            out[k] = restore_tolerant(v, state[k], path)
+        else:
+            shape = getattr(v, "shape", None)
+            print(f"[Missed]: {path}", tuple(shape) if shape is not None else "")
+            out[k] = v
+    return out
+
+
 def load_checkpoint(path: str) -> Dict[str, Any]:
     with open(path, "rb") as f:
         state = serialization.msgpack_restore(f.read())
