@@ -80,6 +80,9 @@ def build_parser() -> ArgumentParser:
     parser.add_argument('--ggnn', type=str, default='masked',
                         choices=['masked', 'pallas'],
                         help='GGNN propagation implementation')
+    parser.add_argument('--save_steps', type=int, default=0,
+                        help='Also checkpoint every N train steps '
+                             '(mid-epoch, preemption-safe resume)')
     return parser
 
 
@@ -247,7 +250,8 @@ def main(argv=None) -> None:
     else:
         print('Model training started!')
         trainer.fit(train_loader, dev_loader, args.model_saving_name,
-                    folder=args.saving_folder, checkpoint=checkpoint)
+                    folder=args.saving_folder, checkpoint=checkpoint,
+                    save_every_steps=args.save_steps or None)
 
 
 if __name__ == '__main__':

@@ -102,6 +102,8 @@ class ImsituLoader:
 
             decoder = "native" if native_decoder.available() else "python"
         self.decoder = decoder
+        #: one-shot batch offset for mid-epoch resume (reset by __iter__)
+        self.start_batch = 0
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -195,6 +197,9 @@ class ImsituLoader:
         batch_starts = range(0, n - (n % self.batch_size if self.drop_last else 0),
                              self.batch_size)
         index_batches = [order[s:s + self.batch_size] for s in batch_starts]
+        if self.start_batch:
+            index_batches = index_batches[self.start_batch:]
+            self.start_batch = 0
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()

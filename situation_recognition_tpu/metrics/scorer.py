@@ -140,6 +140,14 @@ class ImsituScorer:
 
     # ---------------------------------------------------------------- means
 
+    def state_dict(self) -> Dict:
+        """Serializable accumulator state (mid-epoch checkpointing)."""
+        return {"sums": dict(self._sums), "count": self._count}
+
+    def load_state_dict(self, state: Dict) -> None:
+        self._sums = {k: float(v) for k, v in state["sums"].items()}
+        self._count = int(state["count"])
+
     def get_average_results_both(self) -> Dict[str, float]:
         if self._count == 0:
             raise ZeroDivisionError("no score cards accumulated")

@@ -330,13 +330,33 @@ class Trainer:
     # ------------------------------------------------------------ epoch API
 
     def train_epoch(self, loader, epoch: int,
-                    timer: Optional[StepTimer] = None):
-        """One epoch; returns (top1, top5, mean losses tuple)."""
+                    timer: Optional[StepTimer] = None,
+                    mid_state: Optional[dict] = None,
+                    save_every: Optional[int] = None,
+                    save_callback=None):
+        """One epoch; returns (top1, top5, mean losses tuple).
+
+        Step-granularity recovery (capability the reference lacks — its
+        recovery unit is a whole epoch, sr.py:145-162): with ``save_every``,
+        ``save_callback(mid)`` fires every N batches with a resumable
+        accumulator snapshot; pass it back as ``mid_state`` to continue the
+        epoch from the next batch.
+        """
         loader.set_epoch(epoch)
         top1 = ImsituScorer(self.encoder, 1, 3)
         top5 = ImsituScorer(self.encoder, 5, 3)
         sums = np.zeros(3)
         num_batches = 0
+        start_batch = 0
+        if mid_state is not None:
+            top1.load_state_dict(mid_state["top1"])
+            top5.load_state_dict(mid_state["top5"])
+            sums = np.asarray(mid_state["loss_sums"], np.float64).copy()
+            num_batches = int(mid_state["num_batches"])
+            start_batch = int(mid_state["batch_in_epoch"])
+            self.step_count = int(mid_state["step_count"])
+        loader.start_batch = start_batch
+        batch_idx = start_batch
         for arrays, valid, batch, n in self._device_batches(loader):
             key = jax.random.fold_in(self._dropout_base, self.step_count)
             if timer:
@@ -356,6 +376,17 @@ class Trainer:
             sums += losses
             num_batches += 1
             self.step_count += 1
+            batch_idx += 1
+            if (save_every and save_callback
+                    and num_batches % save_every == 0):
+                save_callback({
+                    "batch_in_epoch": batch_idx,
+                    "step_count": self.step_count,
+                    "top1": top1.state_dict(),
+                    "top5": top5.state_dict(),
+                    "loss_sums": sums.tolist(),
+                    "num_batches": num_batches,
+                })
         return top1, top5, tuple(sums / max(num_batches, 1))
 
     def evaluate(self, loader, logging: bool = False):
@@ -400,9 +431,14 @@ class Trainer:
     def fit(self, train_loader, dev_loader, model_saving_name: str,
             folder: str, checkpoint: Optional[dict] = None,
             plot: bool = True, save: bool = True,
-            timer: Optional[StepTimer] = None):
+            timer: Optional[StepTimer] = None,
+            save_every_steps: Optional[int] = None):
         """Reference ``train`` (sr.py:15-162): epoch loop with identical
-        stdout, per-epoch dev eval, curve plot, and overwrite checkpointing."""
+        stdout, per-epoch dev eval, curve plot, and overwrite checkpointing.
+
+        ``save_every_steps``: additionally checkpoint every N train steps
+        with a resumable mid-epoch snapshot (preemption recovery at step
+        granularity — the reference can only lose/redo whole epochs)."""
         import os
 
         from situation_recognition_tpu.utils.checkpoint import save_checkpoint
@@ -411,11 +447,20 @@ class Trainer:
             "avg_scores", "verb_losses", "nouns_losses",
             "val_avg_scores", "val_verb_losses", "val_nouns_losses"]}
         epoch = 0
+        mid_state = None
         if checkpoint is not None:
             epoch = int(checkpoint["epoch"])
             for k in histories:
                 histories[k] = list(checkpoint[k])
             self.load_model_state(checkpoint)
+            mid_state = checkpoint.get("mid")
+
+        ckpt_path = os.path.join(folder, model_saving_name)
+
+        def save_mid(mid):
+            save_checkpoint(ckpt_path, {
+                "epoch": self._current_epoch, **histories, "mid": mid,
+                **self.model_state_dict()})
 
         import sys
 
@@ -428,9 +473,13 @@ class Trainer:
         for e in range(epoch, self.config.epochs):
             print('Epoch-{}, lr: {:.4f}'.format(e, self.config.lr))
             timer.reset()
+            self._current_epoch = e
             with jax_profile_trace(profile_dir if e == epoch else None):
                 top1, top5, (vloss, nloss, gloss) = self.train_epoch(
-                    train_loader, e, timer=timer)
+                    train_loader, e, timer=timer, mid_state=mid_state,
+                    save_every=save_every_steps,
+                    save_callback=save_mid if save else None)
+            mid_state = None
             if timer.images_per_sec > 0:
                 # observability the reference lacks (SURVEY §5a); stderr so
                 # stdout stays byte-compatible with the reference transcripts

@@ -134,3 +134,39 @@ def test_optax_adamax_matches_torch():
         jw = optax.apply_updates(jw, upd)
     np.testing.assert_allclose(np.asarray(jw), tw.detach().numpy(),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_mid_epoch_checkpoint_resume(encoder, loaders, tmp_path):
+    """save_every_steps snapshots let a new trainer finish the epoch with
+    the full dataset counted exactly once."""
+    import jax
+
+    train_loader, _ = loaders
+    train_loader = ImsituLoader(train_loader.dataset, batch_size=2,
+                                shuffle=True, seed=1)  # 3 batches (2+2+1)
+    cfg = TrainerConfig(hidden=64, batch_size=8, backbone="mini",
+                        compute_dtype=jnp.float32, lr=0.01)
+    tr = Trainer(encoder, cfg)
+
+    mids = []
+
+    class StopAfterFirstSave(Exception):
+        pass
+
+    def cb(mid):
+        mids.append(mid)
+        raise StopAfterFirstSave()
+
+    try:
+        tr.train_epoch(train_loader, epoch=0, save_every=1, save_callback=cb)
+    except StopAfterFirstSave:
+        pass
+    assert mids and mids[0]["batch_in_epoch"] == 1
+    assert mids[0]["top1"]["count"] == 2
+
+    # fresh trainer resumes from the snapshot and completes the epoch
+    tr2 = Trainer(encoder, cfg)
+    top1, top5, losses = tr2.train_epoch(train_loader, epoch=0,
+                                         mid_state=mids[0])
+    assert len(top1) == 5  # 2 (from snapshot) + 3 remaining
+    assert all(np.isfinite(losses))
