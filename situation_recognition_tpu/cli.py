@@ -83,6 +83,10 @@ def build_parser() -> ArgumentParser:
     parser.add_argument('--save_steps', type=int, default=0,
                         help='Also checkpoint every N train steps '
                              '(mid-epoch, preemption-safe resume)')
+    parser.add_argument('--cache_decoded', action='store_true',
+                        help='Cache decoded images in host RAM '
+                             '(~200KB/image; removes JPEG decode from the '
+                             'input path after the first epoch)')
     return parser
 
 
@@ -165,10 +169,14 @@ def main(argv=None) -> None:
         encoder = ImsituEncoder.load(encoder_path)
 
     train_set = ImsituDataset(args.imgset_dir, train_json, encoder, train=True)
+    if args.cache_decoded:
+        train_set.enable_decode_cache()
     train_loader = ImsituLoader(train_set, batch_size=args.batch_size,
                                 shuffle=True, seed=args.seed,
                                 num_workers=args.num_workers)
     dev_set = ImsituDataset(args.imgset_dir, dev_json, encoder, train=False)
+    if args.cache_decoded:
+        dev_set.enable_decode_cache()
     dev_loader = ImsituLoader(dev_set, batch_size=args.batch_size,
                               shuffle=False, num_workers=args.num_workers)
     test_set = ImsituDataset(args.imgset_dir, test_json, encoder, train=False)
