@@ -1,0 +1,86 @@
+"""Model export for serving: self-contained StableHLO inference artifacts.
+
+New capability beyond the reference (which can only serve by loading the
+full training stack + torch checkpoint): ``export_inference`` freezes the
+current model into a single serialized function
+
+    uint8 image windows (B, 256, 256, 3)
+      → (verb_logits (B, V), verb_ids (B,), noun_logits (B, R, L))
+
+with preprocessing, backbone (eval-mode BN), verb prediction, and
+argmax-verb-conditioned noun prediction baked in — weights embedded as
+constants, no Python model code needed at load time.  Artifacts are
+device-portable (serialized StableHLO via ``jax.export``): export on CPU,
+serve on TPU, or vice versa.
+
+Batch size is fixed at export time (static shapes for TPU serving); export
+several batch sizes if needed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+FORMAT_VERSION = 1
+
+
+def export_inference(trainer, path: str, batch_size: int = 1) -> None:
+    """Export the trainer's current model as a serving artifact directory."""
+    from situation_recognition_tpu.data.transforms import device_transform
+
+    head = trainer.head
+    backbone = trainer.backbone
+    bvars = {"params": jax.device_get(trainer.backbone_params)}
+    if trainer._backbone_has_bn:
+        bvars["batch_stats"] = jax.device_get(trainer.backbone_stats)
+    hparams = {"params": jax.device_get(trainer.head_params)}
+    role_ids = trainer.role_ids
+    role_mask = trainer.role_mask
+    dtype = trainer.config.compute_dtype
+
+    def serve(images_u8):
+        x = device_transform(images_u8, None, dtype=dtype)
+        feats = backbone.apply(bvars, x, train=False).astype(jnp.float32)
+        verb_logits = head.apply(hparams, feats, method=head.predict_verb)
+        verb_ids = jnp.argmax(verb_logits, axis=1)
+        noun_logits = head.apply(hparams, feats, verb_ids, role_ids,
+                                 role_mask, method=head.predict_nouns)
+        return verb_logits, verb_ids, noun_logits
+
+    stub = jnp.zeros((batch_size, 256, 256, 3), jnp.uint8)
+    exported = jax.export.export(jax.jit(serve))(stub)
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "model.stablehlo"), "wb") as f:
+        f.write(exported.serialize())
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump({
+            "format_version": FORMAT_VERSION,
+            "batch_size": batch_size,
+            "num_verbs": trainer.encoder.get_num_verbs(),
+            "num_labels": trainer.encoder.get_num_labels(),
+            "max_role_count": trainer.encoder.max_role_count,
+            "verb_list": trainer.encoder.verb_list,
+            "label_list": trainer.encoder.label_list,
+        }, f)
+
+
+def load_inference(path: str) -> Callable:
+    """Load an exported artifact → fn(images_u8) with attached ``meta``."""
+    with open(os.path.join(path, "model.stablehlo"), "rb") as f:
+        exported = jax.export.deserialize(f.read())
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+
+    def fn(images_u8):
+        images_u8 = jnp.asarray(np.asarray(images_u8, dtype=np.uint8))
+        return exported.call(images_u8)
+
+    fn.meta = meta
+    return fn

@@ -1,0 +1,34 @@
+"""Serving export roundtrip: artifact output must match live inference."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from situation_recognition_tpu.serving import export_inference, load_inference
+from situation_recognition_tpu.train import Trainer, TrainerConfig
+
+
+def test_export_load_roundtrip(encoder, tmp_path):
+    cfg = TrainerConfig(hidden=64, batch_size=8, backbone="mini",
+                        compute_dtype=jnp.float32)
+    tr = Trainer(encoder, cfg)
+    path = str(tmp_path / "artifact")
+    export_inference(tr, path, batch_size=2)
+
+    fn = load_inference(path)
+    assert fn.meta["num_verbs"] == encoder.get_num_verbs()
+    assert fn.meta["verb_list"] == encoder.verb_list
+
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 255, (2, 256, 256, 3), dtype=np.uint8)
+    verb_logits, verb_ids, noun_logits = fn(imgs)
+    assert verb_logits.shape == (2, encoder.get_num_verbs())
+    assert noun_logits.shape == (2, encoder.max_role_count,
+                                 encoder.get_num_labels())
+
+    # parity with the live inference path (same verb-conditioned branch)
+    live_verb = np.asarray(tr.infer_verb(imgs))
+    np.testing.assert_allclose(np.asarray(verb_logits), live_verb,
+                               rtol=1e-4, atol=1e-5)
+    live_nouns = np.asarray(tr.infer_nouns(imgs, np.asarray(verb_ids)))
+    np.testing.assert_allclose(np.asarray(noun_logits), live_nouns,
+                               rtol=1e-4, atol=1e-5)
