@@ -19,7 +19,6 @@ checkpoints (converted on the fly, incl. the pretrained ``resnet152_sr``).
 from __future__ import annotations
 
 import json
-import os
 from argparse import ArgumentParser
 from os.path import isfile as pisfile, join as pjoin
 from pathlib import Path

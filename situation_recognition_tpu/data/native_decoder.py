@@ -14,7 +14,7 @@ divergence; each loader is individually reproducible).
 from __future__ import annotations
 
 import ctypes
-from typing import List, Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 

@@ -31,7 +31,6 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 from situation_recognition_tpu.ops.ggnn import GGNNParams, ggnn_propagate, ggnn_propagate_verb
