@@ -1,0 +1,126 @@
+"""Explicit-SPMD training step via shard_map (alternative to the jit path).
+
+The default Trainer step lets XLA infer collectives from NamedShardings.
+This module spells them out with ``shard_map`` + ``psum`` — useful when you
+want manual control of the communication pattern, and it is the closest
+semantic twin of the reference's ``nn.DataParallel`` (sr.py:467-470):
+
+* each shard computes on its local batch slice;
+* BatchNorm batch-statistics are **per-shard** (exactly like per-GPU BN
+  under DataParallel — the jit path computes global batch stats instead;
+  at batch 768/shard the difference is negligible, but this path is the
+  bit-faithful one);
+* loss terms and gradients are combined with explicit ``psum`` over the
+  ``data`` axis (the reference gathers outputs and reduces grads on GPU0;
+  on TPU the all-reduce rides ICI);
+* the parameter update runs replicated on every shard (identical inputs →
+  identical results, like DataParallel's broadcast-free invariant).
+
+Masked-mean losses need care under psum: each shard contributes its
+numerator and denominator separately, both psum'd, so wrapped-padding rows
+are excluded globally, not per-shard.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+
+def make_shardmap_train_step(trainer):
+    """Build a shard_map train step with the same signature/semantics as
+    ``trainer._train_step`` (losses are globally masked-mean reduced)."""
+    mesh = trainer.mesh
+    head = trainer.head
+    backbone = trainer.backbone
+    has_bn = trainer._backbone_has_bn
+    tx = trainer.tx
+    role_ids = trainer.role_ids
+    role_mask = trainer.role_mask
+    num_labels = trainer.encoder.get_num_labels()
+    dtype = trainer.config.compute_dtype
+
+    from situation_recognition_tpu.data.transforms import device_transform
+
+    def local_forward(head_params, backbone_params, backbone_stats,
+                      images, flip, verbs, dropout_key):
+        x = device_transform(images, flip, dtype=dtype)
+        if has_bn:
+            feats, updates = backbone.apply(
+                {"params": backbone_params, "batch_stats": backbone_stats},
+                x, train=True, mutable=["batch_stats"])
+            new_stats = updates["batch_stats"]
+        else:
+            feats = backbone.apply({"params": backbone_params}, x, train=True)
+            new_stats = backbone_stats
+        feats = jax.lax.stop_gradient(feats.astype(jnp.float32))
+        outs = head.apply({"params": head_params}, feats, verbs,
+                          role_ids, role_mask, train=True,
+                          rngs={"dropout": dropout_key})
+        return outs, new_stats
+
+    def local_loss_terms(outs, verbs, labels, valid):
+        """Per-shard (numerator, denominator) pairs for the masked means."""
+        pred_verb, pred_nouns, gt_pred_nouns = outs
+        logp_v = jax.nn.log_softmax(pred_verb.astype(jnp.float32), axis=-1)
+        nll_v = -jnp.take_along_axis(logp_v, verbs[:, None], axis=-1)[:, 0]
+        terms = [(jnp.sum(nll_v * valid), jnp.sum(valid))]
+        for pn in (pred_nouns, gt_pred_nouns):
+            logp = jax.nn.log_softmax(pn.astype(jnp.float32), axis=-1)
+            for n in range(3):
+                lab = labels[:, n, :]
+                ok = (lab != num_labels) & valid[:, None].astype(bool)
+                safe = jnp.where(ok, lab, 0)
+                nll = -jnp.take_along_axis(
+                    logp, safe[:, :, None], axis=-1)[:, :, 0]
+                terms.append((jnp.sum(jnp.where(ok, nll, 0.0)),
+                              jnp.sum(ok).astype(jnp.float32)))
+        return terms
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(),
+                  P("data"), P("data"), P("data"), P("data"), P("data")),
+        out_specs=(P(), P(), P(), P(), (P("data"), P("data"), P("data"))),
+        check_rep=False,
+    )
+    def train_step(head_params, opt_state, backbone_params, backbone_stats,
+                   dropout_key, images, flip, verbs, labels, valid):
+        # decorrelate dropout across shards, like independent GPU RNGs
+        shard_key = jax.random.fold_in(
+            dropout_key, jax.lax.axis_index("data"))
+
+        def loss_fn(hp):
+            outs, new_stats = local_forward(
+                hp, backbone_params, backbone_stats, images, flip, verbs,
+                shard_key)
+            terms = local_loss_terms(outs, verbs, labels, valid)
+            # psum numerators and denominators → global masked means
+            g = [(jax.lax.psum(a, "data"), jax.lax.psum(b, "data"))
+                 for a, b in terms]
+            vloss = g[0][0] / g[0][1]
+            nloss = sum(a / jnp.maximum(b, 1) for a, b in g[1:4])
+            gloss = sum(a / jnp.maximum(b, 1) for a, b in g[4:7])
+            return vloss + nloss, (outs, new_stats, vloss, nloss, gloss)
+
+        grads, (outs, new_stats, vloss, nloss, gloss) = jax.grad(
+            loss_fn, has_aux=True)(head_params)
+        # loss already psum-normalized → grads are global means; params and
+        # optimizer state stay replicated (identical update on every shard)
+        updates, opt_state = tx.update(grads, opt_state, head_params)
+        head_params = optax.apply_updates(head_params, updates)
+        # per-shard BN stats → average across shards for the running state
+        new_stats = jax.tree.map(
+            lambda s: jax.lax.pmean(s, "data"), new_stats)
+        pv5 = jax.lax.top_k(outs[0], 5)[1]
+        pn5 = jax.lax.top_k(outs[1], 5)[1]
+        gt1 = jnp.argmax(outs[2], axis=-1)[..., None]
+        return (head_params, opt_state, new_stats,
+                (vloss, nloss, gloss), (pv5, pn5, gt1))
+
+    return jax.jit(train_step, donate_argnums=(0, 1, 3))
