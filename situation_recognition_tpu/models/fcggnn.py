@@ -53,6 +53,7 @@ class GGNN(nn.Module):
     num_steps: int = 4
     dtype: Any = jnp.float32
     impl: str = "masked"   # masked (XLA, default — fastest measured) | pallas
+    remat: bool = False    # jax.checkpoint per step (see ops.ggnn)
 
     def setup(self):
         d = self.hidden
@@ -81,7 +82,8 @@ class GGNN(nn.Module):
         hidden = hidden.astype(self.dtype)
         if self.impl == "pallas":
             return self._pallas(hidden, mask)
-        return ggnn_propagate(self._p, hidden, mask, self.num_steps)
+        return ggnn_propagate(self._p, hidden, mask, self.num_steps,
+                              remat=self.remat)
 
     def propagate_verb(self, hidden):
         hidden = hidden.astype(self.dtype)
@@ -110,6 +112,7 @@ class FCGGNNHead(nn.Module):
     dropout_rate: float = 0.5
     dtype: Any = jnp.float32
     ggnn_impl: str = "masked"
+    ggnn_remat: bool = False
 
     def setup(self):
         D = self.hidden
@@ -124,7 +127,8 @@ class FCGGNNHead(nn.Module):
         self.verb_emb = self.param(
             "verb_emb", jax.nn.initializers.normal(1.0), (self.num_verbs, D))
         self.ggnn = GGNN(hidden=D, num_steps=self.num_steps,
-                         dtype=self.dtype, impl=self.ggnn_impl)
+                         dtype=self.dtype, impl=self.ggnn_impl,
+                         remat=self.ggnn_remat)
         self.verb_dropout = nn.Dropout(self.dropout_rate)
         self.nouns_dropout = nn.Dropout(self.dropout_rate)
         init = torch_linear_init(1.0 / math.sqrt(D))

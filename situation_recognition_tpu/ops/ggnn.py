@@ -88,15 +88,28 @@ def ggnn_propagate(
     hidden: jax.Array,   # (B, N, D) node states
     mask: jax.Array,     # (B, N) binary role mask (1 = real role)
     num_steps: int = 4,
+    remat: bool = False,
 ) -> jax.Array:
-    """Masked-sum GGNN propagation, ``num_steps`` unrolled (static)."""
+    """Masked-sum GGNN propagation, ``num_steps`` unrolled (static).
+
+    ``remat=True`` wraps each step in ``jax.checkpoint``: the backward pass
+    recomputes the step's gate activations instead of storing ~16 (B*N, D)
+    tensors across the 4 steps — trades ~33% extra forward FLOPs in the
+    GGNN for a ~4x cut in its activation memory (useful for large per-chip
+    batches)."""
     mask = mask.astype(hidden.dtype)[..., None]          # (B, N, 1)
-    h = hidden
-    for _ in range(num_steps):
+
+    def step(h):
         p = h @ params.w_p + params.b_p                   # (B, N, D)
         s = jnp.sum(mask * p, axis=1, keepdims=True)      # (B, 1, D)
         n = jnp.where(mask > 0, s - p, p)                 # (B, N, D)
-        h = _gru_update(params, n, h)
+        return _gru_update(params, n, h)
+
+    if remat:
+        step = jax.checkpoint(step)
+    h = hidden
+    for _ in range(num_steps):
+        h = step(h)
     return h
 
 

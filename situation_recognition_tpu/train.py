@@ -58,6 +58,7 @@ class TrainerConfig:
     seed: int = 0
     model_axis: int = 1                  # >1 enables classifier TP
     ggnn_impl: str = "masked"            # masked | pallas
+    ggnn_remat: bool = False             # remat GGNN steps (memory saver)
 
 
 _RESNETS = {
@@ -132,6 +133,7 @@ class Trainer:
             num_steps=config.num_ggnn_steps,
             dtype=dt,
             ggnn_impl=config.ggnn_impl,
+            ggnn_remat=config.ggnn_remat,
         )
         self.role_ids = jnp.asarray(encoder.role_ids)
         self.role_mask = jnp.asarray(encoder.role_mask)

@@ -110,3 +110,21 @@ def test_jit_and_grad():
 
     g = jax.grad(loss)(params, jnp.asarray(h))
     assert all(np.isfinite(np.asarray(x)).all() for x in g)
+
+
+def test_remat_matches_plain():
+    params, h, mask, _ = _setup(seed=5)
+    plain = ggnn_propagate(params, jnp.asarray(h), jnp.asarray(mask))
+    remat = ggnn_propagate(params, jnp.asarray(h), jnp.asarray(mask), remat=True)
+    np.testing.assert_allclose(np.asarray(plain), np.asarray(remat),
+                               rtol=1e-6, atol=1e-6)
+
+    def loss(p, fn_kwargs):
+        return jnp.sum(ggnn_propagate(p, jnp.asarray(h), jnp.asarray(mask),
+                                      **fn_kwargs) ** 2)
+
+    g1 = jax.grad(lambda p: loss(p, {}))(params)
+    g2 = jax.grad(lambda p: loss(p, {"remat": True}))(params)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
