@@ -128,3 +128,21 @@ def test_eval_loader_center_deterministic(img_dir, encoder, overfitting_json):
     np.testing.assert_array_equal(a["images"], b["images"])
     assert not a["flip"].any()
     assert a["names"] == ds.names
+
+
+def test_loader_worker_count_invariance(img_dir, encoder, overfitting_json):
+    """Batch contents must be identical regardless of worker threading
+    (no data races in the fill workers)."""
+    ds = ImsituDataset(img_dir, overfitting_json, encoder, train=True)
+    ref = None
+    for workers in (1, 2, 5):
+        loader = ImsituLoader(ds, batch_size=5, shuffle=True, seed=11,
+                              num_workers=workers, decoder="python")
+        batches = list(loader)
+        if ref is None:
+            ref = batches
+        else:
+            for a, b in zip(ref, batches):
+                assert a["names"] == b["names"]
+                np.testing.assert_array_equal(a["images"], b["images"])
+                np.testing.assert_array_equal(a["flip"], b["flip"])
