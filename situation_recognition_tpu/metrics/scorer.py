@@ -57,10 +57,17 @@ class ImsituScorer:
     KEYS_TOP1 = ("verb", "value", "value-all", "gt-value", "gt-value-all")
     KEYS_TOPK = ("verb", "value", "value-all")
 
-    def __init__(self, encoder, topk: int, nref: int = 3):
+    def __init__(self, encoder, topk: int, nref: int = 3,
+                 keep_cards: bool = False):
+        """``keep_cards=True`` additionally retains per-example card dicts in
+        ``score_cards`` (the reference's representation,
+        imsitu_scorer.py:16-20) for introspection; the vectorized sums are
+        always the source of truth for the averages."""
         self.encoder = encoder
         self.topk = topk
         self.nref = nref
+        self.keep_cards = keep_cards
+        self.score_cards: list = []
         keys = self.KEYS_TOP1 if topk == 1 else self.KEYS_TOPK
         self._sums: Dict[str, float] = {k: 0.0 for k in keys}
         self._count = 0
@@ -127,16 +134,28 @@ class ImsituScorer:
         self._sums["value"] += float(value_hit.sum())
         self._sums["value-all"] += float(value_all_hit.sum())
 
+        gt_value = gt_value_all = None
         if self.topk == 1:
             gt_matches = (
                 gt_noun_idx[:, :, 0, None] == labels.transpose(0, 2, 1)
             )  # (B, R, 3)
             gt_matches = gt_matches & role_mask[:, :, None]
             gt_found = gt_matches.sum(axis=(1, 2))              # (B,)
-            self._sums["gt-value"] += float((gt_found > 0).sum())
-            self._sums["gt-value-all"] += float((gt_found >= role_counts).sum())
+            gt_value = gt_found > 0
+            gt_value_all = gt_found >= role_counts
+            self._sums["gt-value"] += float(gt_value.sum())
+            self._sums["gt-value-all"] += float(gt_value_all.sum())
 
         self._count += B
+        if self.keep_cards:
+            for i in range(B):
+                card = {"verb": float(verb_hit[i]),
+                        "value": float(value_hit[i]),
+                        "value-all": float(value_all_hit[i])}
+                if self.topk == 1:
+                    card["gt-value"] = float(gt_value[i])
+                    card["gt-value-all"] = float(gt_value_all[i])
+                self.score_cards.append(card)
 
     # ---------------------------------------------------------------- means
 

@@ -166,3 +166,15 @@ def test_mean_of_eight():
           "gt-value": 0.5, "gt-value-all": 0.5}
     t5 = {"verb": 0.5, "value": 0.5, "value-all": 0.5}
     assert mean_of_eight(t1, t5) == 50.0
+
+
+def test_keep_cards_matches_oracle_cards(encoder):
+    batch = _random_batch(encoder, 32, seed=9)
+    s = ImsituScorer(encoder, 1, 3, keep_cards=True)
+    s.add_point_both(*batch)
+    want = oracle_cards(encoder, 1, *batch)
+    assert s.score_cards == want
+    # sums derived from cards match the vectorized averages
+    means = s.get_average_results_both()
+    for k in means:
+        assert means[k] == sum(c[k] for c in want) / len(want)
