@@ -46,3 +46,18 @@ def encoder(overfitting_json):
     from situation_recognition_tpu.data.encoder import ImsituEncoder
 
     return ImsituEncoder(overfitting_json, verbose=False)
+
+
+def make_synth_images(directory, names, sizes=None, seed=0):
+    """Write smooth synthetic JPEGs (upsampled low-res noise — benign for
+    resample-order parity) named after annotation keys."""
+    import numpy as np
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    sizes = sizes or [(256, 256)] * len(names)
+    for name, (h, w) in zip(names, sizes):
+        low = rng.integers(0, 255, size=(8, 8, 3), dtype=np.uint8)
+        arr = np.asarray(Image.fromarray(low).resize((w, h), Image.BILINEAR))
+        Image.fromarray(arr).save(os.path.join(str(directory), name),
+                                  quality=95)

@@ -19,17 +19,13 @@ from situation_recognition_tpu.train import Trainer, TrainerConfig
 
 @pytest.fixture(scope="module")
 def img_dir(tmp_path_factory):
-    from PIL import Image
+    from tests.conftest import make_synth_images
 
     d = tmp_path_factory.mktemp("imgs")
     fixture = os.path.join(os.path.dirname(__file__), "fixtures", "overfitting.json")
     with open(fixture) as f:
         names = list(json.load(f).keys())
-    rng = np.random.default_rng(0)
-    for name in names:
-        low = rng.integers(0, 255, size=(8, 8, 3), dtype=np.uint8)
-        arr = np.asarray(Image.fromarray(low).resize((256, 256), Image.BILINEAR))
-        Image.fromarray(arr).save(d / name, quality=95)
+    make_synth_images(d, names)
     return str(d)
 
 
