@@ -50,11 +50,17 @@ def workdir(tmp_path_factory):
     return str(root)
 
 
+CACHE_DIR = os.path.join(os.environ.get("TMPDIR", "/tmp"), "srtpu_test_jax_cache")
+
+
 def run_cli(workdir, *extra, timeout=600):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["JAX_PLATFORM_NAME"] = "cpu"
     env.pop("XLA_FLAGS", None)
+    # share compiled executables across the subprocess runs
+    env["JAX_COMPILATION_CACHE_DIR"] = CACHE_DIR
+    env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "1"
     cmd = [sys.executable, os.path.join(REPO, "sr.py"),
            "--backbone", "mini", "--batch_size", "5", "--num_workers", "2",
            "--precision", "fp32", *extra]
