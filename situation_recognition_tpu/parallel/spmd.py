@@ -117,9 +117,8 @@ def make_shardmap_train_step(trainer):
         # per-shard BN stats → average across shards for the running state
         new_stats = jax.tree.map(
             lambda s: jax.lax.pmean(s, "data"), new_stats)
-        pv5 = jax.lax.top_k(outs[0], 5)[1]
-        pn5 = jax.lax.top_k(outs[1], 5)[1]
-        gt1 = jnp.argmax(outs[2], axis=-1)[..., None]
+        from situation_recognition_tpu.train import Trainer
+        pv5, pn5, gt1 = Trainer._topk(outs)
         return (head_params, opt_state, new_stats,
                 (vloss, nloss, gloss), (pv5, pn5, gt1))
 
