@@ -143,7 +143,12 @@ class ImsituLoader:
                 errors.append(e)
 
         pairs = list(enumerate(indices))
-        if self.num_workers > 1 and B > 1:
+        # all-cache-hit batches are pure GIL-bound numpy slicing: worker
+        # threads only thrash the GIL there (measured 4x slowdown), so fill
+        # single-threaded when no decode work exists
+        cache = ds._decoded_cache
+        all_cached = cache is not None and all(int(i) in cache for i in indices)
+        if self.num_workers > 1 and B > 1 and not all_cached:
             chunks = np.array_split(np.arange(B), self.num_workers)
             threads = [
                 threading.Thread(target=fill, args=([pairs[i] for i in c],))
