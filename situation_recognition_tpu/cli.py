@@ -115,8 +115,8 @@ def _load_backbone(trainer, path: str) -> None:
 
 
 def _load_resume(trainer, path: str):
-    """Load a resume checkpoint; returns the checkpoint dict for fit()
-    (ours) or None (torch checkpoints: weights only)."""
+    """Load a resume checkpoint (ours or an original torch one); returns the
+    checkpoint dict consumed by fit() (epoch + histories + model state)."""
     from situation_recognition_tpu.utils import torch_convert
     from situation_recognition_tpu.utils.checkpoint import load_checkpoint
 
@@ -126,17 +126,30 @@ def _load_resume(trainer, path: str):
         return ckpt
     except Exception:
         pass
-    from flax import serialization
 
-    sd = torch_convert.load_torch_file(path)
+    # torch checkpoint (e.g. the published resnet152_sr): convert weights
+    # and carry over epoch + metric histories like the reference resume
+    # (sr.py:28-41); torch Adamax state is not transferable (DIVERGENCES #12)
+    import torch
+
+    raw = torch.load(path, map_location="cpu", weights_only=False)
+    import numpy as np
+
+    sd = {k: np.asarray(v.detach().cpu().numpy())
+          for k, v in raw["model_state_dict"].items()}
     bparams, bstats, head = torch_convert.convert_reference_checkpoint(sd)
-    trainer.backbone_params = serialization.from_state_dict(
-        trainer.backbone_params, bparams)
-    trainer.backbone_stats = serialization.from_state_dict(
-        trainer.backbone_stats, bstats)
-    trainer.head_params = serialization.from_state_dict(
-        trainer.head_params, head)
-    return None
+    ckpt = {
+        "epoch": int(raw.get("epoch", 0)),
+        "backbone_params": bparams,
+        "backbone_stats": bstats,
+        "head_params": head,
+        "opt_state": None,
+    }
+    for k in ("avg_scores", "verb_losses", "nouns_losses",
+              "val_avg_scores", "val_verb_losses", "val_nouns_losses"):
+        ckpt[k] = [float(x) for x in raw.get(k, [])]
+    trainer.load_model_state(ckpt)
+    return ckpt
 
 
 def main(argv=None) -> None:

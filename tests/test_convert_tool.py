@@ -113,3 +113,22 @@ def test_convert_divergent_twins_rejected(tmp_path, encoder):
         sd["convnet_verbs.model.conv1.weight"] + 1.0)
     with pytest.raises(ValueError, match="diverge"):
         convert_reference_checkpoint(sd)
+
+
+def test_cli_resume_from_torch_checkpoint(tmp_path, encoder):
+    """--resume_model pointed at an original torch checkpoint converts on
+    the fly and restores epoch + histories."""
+    import jax.numpy as jnp
+
+    from situation_recognition_tpu.cli import _load_resume
+    from situation_recognition_tpu.train import Trainer, TrainerConfig
+
+    src = str(tmp_path / "resnet152_sr")
+    _make_reference_checkpoint(src, encoder)
+    cfg = TrainerConfig(hidden=2048, batch_size=8, backbone="mini",
+                        compute_dtype=jnp.float32)
+    tr = Trainer(encoder, cfg)
+    ckpt = _load_resume(tr, src)
+    assert ckpt["epoch"] == 7
+    assert ckpt["avg_scores"] == [1.0, 2.0]
+    assert ckpt["opt_state"] is None
