@@ -2,20 +2,28 @@
 
 TPU-first redesign of the reference GGSNN (``/root/reference/model.py:38-86``).
 The reference materializes a per-example (N, N) adjacency on the host each
-step and computes ``n_i = sum_j A_ij (W_p h_j + b_p)`` via an expanded
-(B, N, N, D) tensor.  Because the imSitu adjacency is structurally
+step and computes, via an expanded (B, N, N, D) tensor (model.py:66-77):
+mask each neighbour slot (``A_ij h_j``), apply the ``W_p`` Linear **to every
+one of the N slots** (bias included, even for zeroed slots), then sum over
+slots.  Because ``Linear`` adds its bias per slot regardless of the mask,
+every node receives exactly ``N`` bias contributions:
+
+    n_i = (sum_j A_ij h_j) @ W_p + N * b_p        (N = max_role_count)
+
+and because the imSitu adjacency is structurally
 ``A = m m^T - diag(m) + diag(1-m)`` for the binary role mask ``m`` (real roles
 fully connected without self-loops; pad roles self-loop only,
 imsitu_encoder.py:209-229), the adjacency contraction collapses to a masked
-sum — no adjacency tensor, no batched tiny matmuls, pure VPU work:
+sum — no adjacency tensor, no batched tiny matmuls, pure VPU work before one
+dense projection:
 
-    p_j = W_p h_j + b_p
-    s   = sum_j m_j p_j
-    n_i = m_i ? (s - p_i) : p_i
+    s     = sum_j m_j h_j
+    agg_i = m_i ? (s - h_i) : h_i
+    n_i   = agg_i @ W_p + N * b_p
 
-Note the reference applies ``W_p``'s bias *before* the adjacency sum, so a
-real node's bias contribution scales with its degree (count-1); the masked
-form reproduces this exactly.
+The constant ``N * b_p`` term (NOT ``degree_i * b_p``) is load-bearing for
+bit-compatibility with converted reference checkpoints: the reference's
+per-slot bias fires for masked-out slots too.
 
 The GRU-style update (model.py:80-84) is unchanged mathematically:
 
@@ -98,11 +106,12 @@ def ggnn_propagate(
     GGNN for a ~4x cut in its activation memory (useful for large per-chip
     batches)."""
     mask = mask.astype(hidden.dtype)[..., None]          # (B, N, 1)
+    n_slots = hidden.shape[1]                            # reference N = R_max
 
     def step(h):
-        p = h @ params.w_p + params.b_p                   # (B, N, D)
-        s = jnp.sum(mask * p, axis=1, keepdims=True)      # (B, 1, D)
-        n = jnp.where(mask > 0, s - p, p)                 # (B, N, D)
+        s = jnp.sum(mask * h, axis=1, keepdims=True)      # (B, 1, D)
+        agg = jnp.where(mask > 0, s - h, h)               # (B, N, D)
+        n = agg @ params.w_p + n_slots * params.b_p       # (B, N, D)
         return _gru_update(params, n, h)
 
     if remat:
@@ -120,12 +129,17 @@ def ggnn_propagate_dense(
     num_steps: int = 4,
 ) -> jax.Array:
     """Reference formulation with an explicit adjacency contraction
-    (model.py:66-77).  Kept as the parity oracle for the masked form."""
+    (model.py:66-77).  Kept as the parity oracle for the masked form.
+
+    Op order matches the reference exactly: mask, then the ``W_p`` Linear per
+    slot (its bias firing N times per node), then the slot sum — which
+    commutes to ``(A h) @ W_p + N * b_p``."""
     h = hidden
+    n_slots = hidden.shape[1]
     adjacency = adjacency.astype(hidden.dtype)
     for _ in range(num_steps):
-        p = h @ params.w_p + params.b_p
-        n = jnp.einsum("bij,bjd->bid", adjacency, p)
+        n = jnp.einsum("bij,bjd->bid", adjacency, h) @ params.w_p \
+            + n_slots * params.b_p
         h = _gru_update(params, n, h)
     return h
 

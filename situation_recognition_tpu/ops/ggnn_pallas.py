@@ -6,10 +6,11 @@ message-passing step."  This kernel computes, in ONE ``pallas_call`` per
 step, what the reference does with 8 separate torch ops per step
 (/root/reference/model.py:59-86):
 
-    p  = h @ W_p + b_p                      (projection)
-    s  = sum over each example's masked nodes of p
-    n  = mask ? (s - p) : p                 (adjacency contraction —
+    s   = sum over each example's masked nodes of h
+    agg = mask ? (s - h) : h                (adjacency contraction —
                                              masked-sum form, see ops/ggnn.py)
+    n   = agg @ W_p + N * b_p               (the reference's per-slot Linear
+                                             fires its bias N times per node)
     zr = sigmoid([n; h] @ [[W_z W_r]; [U_z U_r]] + b_zr)
     c  = tanh([n; r*h] @ [[W_h]; [U_h]] + b_c)
     h' = (1 - z) * h + z * c
@@ -55,7 +56,7 @@ NODE_TILE = 8
 def _step_kernel(h_ref, mask_ref, wp_ref, bp_ref, wzr_ref, bzr_ref,
                  wc_ref, bc_ref, out_ref,
                  acc_ref, xnh_ref, zr_ref, wbuf_p, wbuf_zr, wbuf_c, sem,
-                 *, bm: int, d: int, kt: int):
+                 *, bm: int, d: int, kt: int, bias_mult: float):
     """One fused GGNN step for a (bm, d) row block.
 
     acc_ref  (bm, d)  f32  scratch — projection then candidate accumulator
@@ -91,18 +92,19 @@ def _step_kernel(h_ref, mask_ref, wp_ref, bp_ref, wzr_ref, bzr_ref,
 
         jax.lax.fori_loop(0, nk, body, 0, unroll=False)
 
-    # ---- group 1: p = h @ W_p + b_p --------------------------------------
-    acc_ref[:] = jnp.zeros((bm, d), jnp.float32)
-    stream_matmul(acc_ref, wp_ref, wbuf_p, h_ref, d)
-    p = acc_ref[:] + bp_ref[:]                      # (bm, d) f32
-
-    # ---- neighbour aggregation (masked sum per example) ------------------
+    # ---- neighbour aggregation (masked sum per example, pre-projection) --
     mask = mask_ref[:]                              # (bm, 1) f32
     groups = bm // NODE_TILE
-    pg = p.reshape(groups, NODE_TILE, d)
+    hg = h.astype(jnp.float32).reshape(groups, NODE_TILE, d)
     mg = mask.reshape(groups, NODE_TILE, 1)
-    s = jnp.sum(pg * mg, axis=1, keepdims=True)     # (groups, 1, d)
-    n = jnp.where(mg > 0, s - pg, pg).reshape(bm, d)
+    s = jnp.sum(hg * mg, axis=1, keepdims=True)     # (groups, 1, d)
+    agg = jnp.where(mg > 0, s - hg, hg).reshape(bm, d)
+    xnh_ref[:, :d] = agg.astype(jnp.bfloat16)
+
+    # ---- group 1: n = agg @ W_p + N * b_p (per-slot bias, see ops/ggnn) --
+    acc_ref[:] = jnp.zeros((bm, d), jnp.float32)
+    stream_matmul(acc_ref, wp_ref, wbuf_p, xnh_ref, d)
+    n = acc_ref[:] + bias_mult * bp_ref[:]          # (bm, d) f32
     xnh_ref[:, :d] = n.astype(jnp.bfloat16)
     xnh_ref[:, d:] = h
 
@@ -139,14 +141,17 @@ def pack_weights(params: GGNNParams, dtype=jnp.bfloat16):
 
 
 def ggnn_step_pallas(packed, h, mask_rows, *, bm: int = 128,
-                     kt: int = 128, interpret: bool = False):
+                     kt: int = 128, bias_mult: float = 1.0,
+                     interpret: bool = False):
     """One fused step.  h (M, D) bf16, mask_rows (M, 1) f32; M % bm == 0,
-    bm % 8 == 0, D % kt == 0."""
+    bm % 8 == 0, D % kt == 0.  ``bias_mult`` is the logical node count N
+    (the reference's per-slot bias fires N times per node)."""
     wp, bp, wzr, bzr, wc, bc = packed
     m, d = h.shape
     assert m % bm == 0 and bm % NODE_TILE == 0 and d % kt == 0, (m, bm, d, kt)
 
-    kernel = functools.partial(_step_kernel, bm=bm, d=d, kt=kt)
+    kernel = functools.partial(_step_kernel, bm=bm, d=d, kt=kt,
+                               bias_mult=bias_mult)
     grid = (m // bm,)
     return pl.pallas_call(
         kernel,
@@ -154,11 +159,11 @@ def ggnn_step_pallas(packed, h, mask_rows, *, bm: int = 128,
         in_specs=[
             pl.BlockSpec((bm, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bm, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),          # wp  (d, d)
+            pl.BlockSpec(memory_space=pl.ANY),          # wp  (d, d)
             pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),          # wzr (2d, 2d)
+            pl.BlockSpec(memory_space=pl.ANY),          # wzr (2d, 2d)
             pl.BlockSpec((1, 2 * d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),          # wc  (2d, d)
+            pl.BlockSpec(memory_space=pl.ANY),          # wc  (2d, d)
             pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bm, d), lambda i: (i, 0),
@@ -197,7 +202,7 @@ def _propagate_fwd_impl(params: GGNNParams, hidden, mask, num_steps: int,
     packed = pack_weights(params)
     for _ in range(num_steps):
         h = ggnn_step_pallas(packed, h, mask_rows, bm=bm, kt=kt,
-                             interpret=interpret)
+                             bias_mult=float(r), interpret=interpret)
     return h.reshape(b, NODE_TILE, d)[:, :r, :].astype(dtype)
 
 

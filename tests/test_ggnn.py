@@ -1,8 +1,10 @@
 """GGNN propagation tests: masked-sum == dense adjacency == torch oracle.
 
-The torch oracle is a clean-room implementation of the documented math
-(/root/reference/model.py:59-86): n_i = sum_j A_ij (W_p h_j + b_p) followed
-by the GRU-style gated update, 4 steps.
+The torch oracle replicates the reference's literal op order
+(/root/reference/model.py:59-86): expand h to (B, N, N, D), multiply by the
+adjacency mask, apply the W_p Linear to EVERY slot (so its bias fires N
+times per node, masked or not), sum over slots, then the GRU-style gated
+update, 4 steps.  Net effect: n_i = (sum_j A_ij h_j) @ W_p + N * b_p.
 """
 
 import numpy as np
@@ -26,8 +28,17 @@ def torch_oracle(params: GGNNParams, h, adj=None, steps=4):
     h = t(h)
     A = t(adj) if adj is not None else None
     for _ in range(steps):
-        p = h @ w_p + b_p
-        n = torch.einsum("bij,bjd->bid", A, p) if A is not None else p
+        if A is not None:
+            # reference noun mode (model.py:66-77): expand -> mask -> W_p
+            # Linear on every slot (bias included) -> sum over slots
+            nb = h.unsqueeze(1).expand(h.shape[0], h.shape[1],
+                                       h.shape[1], h.shape[2])
+            nb = nb * A.unsqueeze(-1)
+            nb = nb @ w_p + b_p
+            n = nb.sum(dim=2)
+        else:
+            # reference verb mode (model.py:62-64): single self-message
+            n = h @ w_p + b_p
         z = torch.sigmoid(n @ w_z + b_wz + h @ u_z + b_uz)
         r = torch.sigmoid(n @ w_r + b_wr + h @ u_r + b_ur)
         c = torch.tanh(n @ w_h + b_wh + (r * h) @ u_h + b_uh)
