@@ -114,36 +114,56 @@ def _load_backbone(trainer, path: str) -> None:
         trainer.backbone_stats, stats)
 
 
+def _is_torch_checkpoint(path: str) -> bool:
+    """Sniff the on-disk format by content: torch.save writes either a zip
+    archive ('PK\\x03\\x04') or a legacy pickle stream ('\\x80<proto>');
+    our checkpoints are msgpack (map header byte)."""
+    with open(path, 'rb') as f:
+        magic = f.read(4)
+    return magic.startswith(b'PK') or magic[:1] == b'\x80'
+
+
 def _load_resume(trainer, path: str):
     """Load a resume checkpoint (ours or an original torch one); returns the
-    checkpoint dict consumed by fit() (epoch + histories + model state)."""
+    checkpoint dict consumed by fit() (epoch + histories + model state).
+
+    The format is detected by file content, not by trial and error — a
+    corrupt msgpack checkpoint raises its real error instead of surfacing
+    as a baffling torch unpickling failure."""
     from situation_recognition_tpu.utils import torch_convert
     from situation_recognition_tpu.utils.checkpoint import load_checkpoint
 
-    try:
+    if not _is_torch_checkpoint(path):
         ckpt = load_checkpoint(path)
         trainer.load_model_state(ckpt)
         return ckpt
-    except Exception:
-        pass
 
-    # torch checkpoint (e.g. the published resnet152_sr): convert weights
-    # and carry over epoch + metric histories like the reference resume
-    # (sr.py:28-41); torch Adamax state is not transferable (DIVERGENCES #12)
-    import torch
-
-    raw = torch.load(path, map_location="cpu", weights_only=False)
+    # torch checkpoint (e.g. the published resnet152_sr): convert weights,
+    # Adamax optimizer state (exp_avg/exp_inf/step → mu/nu/count — the
+    # continued trajectory matches torch's, sr.py:34-37,472-473) and carry
+    # over epoch + metric histories like the reference resume (sr.py:28-41)
     import numpy as np
+    from flax import serialization
 
+    raw = torch_convert.load_torch_pickle(path)
     sd = {k: np.asarray(v.detach().cpu().numpy())
           for k, v in raw["model_state_dict"].items()}
     bparams, bstats, head = torch_convert.convert_reference_checkpoint(sd)
+    opt_state = None
+    osd = raw.get("optimizer_state_dict") or {}
+    if osd.get("param_groups") and osd.get("state"):
+        mu, nu, count = torch_convert.convert_adamax_state(osd, list(sd))
+        opt_state = torch_convert.fill_adamax_opt_state(
+            serialization.to_state_dict(trainer.opt_state), mu, nu, count)
+    else:
+        print('[srtpu] torch checkpoint has no optimizer state; '
+              'starting with a fresh Adamax state')
     ckpt = {
         "epoch": int(raw.get("epoch", 0)),
         "backbone_params": bparams,
         "backbone_stats": bstats,
         "head_params": head,
-        "opt_state": None,
+        "opt_state": opt_state,
     }
     for k in ("avg_scores", "verb_losses", "nouns_losses",
               "val_avg_scores", "val_verb_losses", "val_nouns_losses"):

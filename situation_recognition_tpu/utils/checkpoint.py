@@ -76,4 +76,14 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
     for k in HISTORY_KEYS:
         if k in state:
             state[k] = history_list(state[k])
+    # canonicalize the mid-epoch accumulator subtree: to_state_dict turned
+    # its lists into {'0': v0, ...} dicts, and the counters must be ints
+    # (train_epoch does np.asarray(loss_sums) and int() on the counters)
+    mid = state.get("mid")
+    if isinstance(mid, dict):
+        if "loss_sums" in mid:
+            mid["loss_sums"] = history_list(mid["loss_sums"])
+        for k in ("batch_in_epoch", "step_count", "num_batches"):
+            if k in mid:
+                mid[k] = int(mid[k])
     return state

@@ -25,11 +25,19 @@ from typing import Dict, Mapping, Tuple
 import numpy as np
 
 
-def load_torch_file(path: str) -> Dict[str, np.ndarray]:
-    """Load a .pth/.pt file into a flat dict of numpy arrays."""
+def load_torch_pickle(path: str):
+    """torch.load with code execution disabled (weights_only).  Reference
+    checkpoints contain only tensors, ints and float lists (sr.py:145-162),
+    which weights_only handles; a legacy file that genuinely needs full
+    unpickling fails loudly rather than silently executing pickle code."""
     import torch
 
-    obj = torch.load(path, map_location="cpu", weights_only=False)
+    return torch.load(path, map_location="cpu", weights_only=True)
+
+
+def load_torch_file(path: str) -> Dict[str, np.ndarray]:
+    """Load a .pth/.pt file into a flat dict of numpy arrays."""
+    obj = load_torch_pickle(path)
     if isinstance(obj, dict) and "model_state_dict" in obj:
         obj = obj["model_state_dict"]
     return {k: np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
@@ -95,6 +103,111 @@ def convert_resnet(
     return params, stats
 
 
+_GGSNN_NAMES = [
+    ("w_p", "W_p"), ("w_z", "W_z"), ("u_z", "U_z"),
+    ("w_r", "W_r"), ("u_r", "U_r"), ("w_h", "W_h"), ("u_h", "U_h"),
+]
+
+
+def _head_param_map() -> Dict[str, Tuple[tuple, bool]]:
+    """reference trainable-param name → (head_params tree path, transpose?)."""
+    m = {
+        "role_emb.weight": (("role_emb",), False),
+        "verb_emb.weight": (("verb_emb",), False),
+        "verb_classifier.1.weight": (("verb_classifier", "kernel"), True),
+        "verb_classifier.1.bias": (("verb_classifier", "bias"), False),
+        "nouns_classifier.1.weight": (("nouns_classifier", "kernel"), True),
+        "nouns_classifier.1.bias": (("nouns_classifier", "bias"), False),
+    }
+    for ours, theirs in _GGSNN_NAMES:
+        m[f"ggsnn.{theirs}.weight"] = (("ggnn", ours), True)
+        m[f"ggsnn.{theirs}.bias"] = (("ggnn", "b_" + ours), False)
+    return m
+
+
+def convert_adamax_state(
+    optimizer_state: Mapping, model_state_keys
+) -> Tuple[dict, dict, int]:
+    """torch.optim.Adamax ``state_dict`` → (mu_tree, nu_tree, count) shaped
+    like our head_params.
+
+    torch Adamax keeps per-param ``exp_avg`` (first moment) and ``exp_inf``
+    (infinity-norm moment) plus a shared ``step`` counter; optax's adamax
+    keeps the identical quantities as ``mu``/``nu``/``count`` (trajectory
+    equality is asserted by tests/test_train.py::test_optax_adamax_matches_torch),
+    so resuming a torch checkpoint can continue the exact optimizer
+    trajectory instead of restarting it.
+
+    The reference builds the optimizer over
+    ``filter(requires_grad, model.parameters())`` (sr.py:472-473) — i.e. the
+    registration-ordered trainable params with the two frozen convnets
+    excluded.  ``model_state_dict`` keys preserve registration order, so the
+    torch param indices map onto the non-convnet keys in order.
+    """
+    trainable = [k for k in model_state_keys
+                 if not k.startswith(("convnet_verbs.", "convnet_nouns."))]
+    indices = list(optimizer_state["param_groups"][0]["params"])
+    if len(indices) != len(trainable):
+        raise ValueError(
+            f"optimizer has {len(indices)} params but the checkpoint has "
+            f"{len(trainable)} trainable tensors: {trainable}")
+    pstate = optimizer_state["state"]
+    path_map = _head_param_map()
+
+    def put(tree, path, leaf):
+        node = tree
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = leaf
+
+    mu: dict = {}
+    nu: dict = {}
+    count = 0
+    for idx, name in zip(indices, trainable):
+        s = pstate[idx] if idx in pstate else pstate[str(idx)]
+        path, transpose = path_map[name]
+        t = _linear if transpose else (lambda a: a)
+
+        def arr(v):
+            return np.asarray(v.detach().cpu().numpy()
+                              if hasattr(v, "detach") else v, np.float32)
+
+        put(mu, path, t(arr(s["exp_avg"])))
+        put(nu, path, t(arr(s["exp_inf"])))
+        count = max(count, int(np.asarray(
+            s["step"].item() if hasattr(s["step"], "item") else s["step"])))
+    return mu, nu, count
+
+
+def fill_adamax_opt_state(template_state_dict: dict, mu: dict, nu: dict,
+                          count: int) -> dict:
+    """Graft converted (mu, nu, count) into a ``to_state_dict`` snapshot of
+    our optax chain state (clip_by_global_norm + adamax).  Searches the
+    serialized tree for the node carrying {count, mu, nu} so the exact chain
+    nesting stays an optax implementation detail."""
+    import copy
+
+    out = copy.deepcopy(template_state_dict)
+    hits = []
+
+    def visit(node):
+        if isinstance(node, dict):
+            if {"count", "mu", "nu"} <= set(node):
+                hits.append(node)
+            else:
+                for v in node.values():
+                    visit(v)
+
+    visit(out)
+    if len(hits) != 1:
+        raise ValueError(
+            f"expected exactly one adamax state node, found {len(hits)}")
+    hits[0]["count"] = np.asarray(count, np.int32)
+    hits[0]["mu"] = mu
+    hits[0]["nu"] = nu
+    return out
+
+
 def convert_reference_checkpoint(
     state: Mapping[str, np.ndarray],
     check_backbones_equal: bool = True,
@@ -122,10 +235,7 @@ def convert_reference_checkpoint(
         state, prefix="convnet_nouns.model.")
 
     g = {}
-    for ours, theirs in [
-        ("w_p", "W_p"), ("w_z", "W_z"), ("u_z", "U_z"),
-        ("w_r", "W_r"), ("u_r", "U_r"), ("w_h", "W_h"), ("u_h", "U_h"),
-    ]:
+    for ours, theirs in _GGSNN_NAMES:
         g[ours] = _linear(state[f"ggsnn.{theirs}.weight"])
         g["b_" + ours] = state[f"ggsnn.{theirs}.bias"]
 

@@ -1,0 +1,265 @@
+"""Composed-model differential tests: the FULL pipeline (backbone features →
+embeddings → node init → GGSNN → classifiers → 3-branch forward → losses →
+gradients) against the clean-room torch reference replica, with weights moved
+through the real checkpoint converter.
+
+This is the strongest accuracy-parity evidence obtainable without the real
+imSitu dataset: any drift in composition details — branch stacking, relu
+placement, mask semantics, per-slot bias, classifier layout, loss masking —
+fails these tests even when every piece passes its own unit test.
+
+Also covers torch→optax Adamax optimizer-state conversion end-to-end through
+``cli._load_resume``: resuming a torch checkpoint must continue the same
+optimizer trajectory (reference sr.py:34-37, 472-473).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+
+from situation_recognition_tpu.models.fcggnn import (
+    FCGGNNHead, nouns_loss, verb_loss)
+from situation_recognition_tpu.models.resnet import ResNet
+from situation_recognition_tpu.utils import torch_convert
+from tests.test_resnet import _randomize_bn_stats
+from tests.torch_refmodel import RefFCGGNN
+
+D = 64
+B = 4
+
+
+@pytest.fixture(scope="module")
+def ref_model(encoder):
+    torch.manual_seed(7)
+    model = RefFCGGNN(encoder, d=D)
+    _randomize_bn_stats(model, seed=3)
+    # keep the two frozen copies identical (like the published checkpoints)
+    model.convnet_nouns.load_state_dict(model.convnet_verbs.state_dict())
+    model.eval()
+    return model
+
+
+@pytest.fixture(scope="module")
+def batch(encoder):
+    rng = np.random.default_rng(11)
+    images = rng.standard_normal((B, 224, 224, 3)).astype(np.float32)
+    verbs = rng.integers(0, encoder.get_num_verbs(), B).astype(np.int64)
+    L = encoder.get_num_labels()
+    labels = rng.integers(0, L + 1, (B, 3, encoder.max_role_count))
+    labels[:, :, 0] = rng.integers(0, L, (B, 3))  # ensure valid positions
+    return images, verbs, labels.astype(np.int64)
+
+
+@pytest.fixture(scope="module")
+def ours(encoder, ref_model):
+    """Convert the torch replica's weights through the real converter."""
+    sd = {k: np.asarray(v.detach().numpy())
+          for k, v in ref_model.state_dict().items()}
+    bparams, bstats, head_params = \
+        torch_convert.convert_reference_checkpoint(sd)
+    backbone = ResNet(stage_sizes=(1, 1, 1, 1), base_width=2,
+                      dtype=jnp.float32)
+    head = FCGGNNHead(
+        num_verbs=encoder.get_num_verbs(),
+        num_roles=encoder.get_num_roles(),
+        num_labels=encoder.get_num_labels(),
+        max_role_count=encoder.max_role_count,
+        hidden=D, dtype=jnp.float32)
+    # shape the converted trees onto freshly initialized templates
+    from flax import serialization
+
+    key = jax.random.PRNGKey(0)
+    bvars = backbone.init(key, np.zeros((1, 224, 224, 3), np.float32),
+                          train=False)
+    hp0 = head.init(key, np.zeros((1, D), np.float32),
+                    np.zeros((1,), np.int32),
+                    np.asarray(encoder.role_ids),
+                    np.asarray(encoder.role_mask))["params"]
+    bparams = serialization.from_state_dict(bvars["params"], bparams)
+    bstats = serialization.from_state_dict(bvars["batch_stats"], bstats)
+    head_params = serialization.from_state_dict(hp0, head_params)
+    return backbone, head, bparams, bstats, head_params
+
+
+def _ours_forward(encoder, ours, images, verbs, head_params=None):
+    backbone, head, bparams, bstats, hp = ours
+    hp = head_params if head_params is not None else hp
+    feats = backbone.apply({"params": bparams, "batch_stats": bstats},
+                           jnp.asarray(images), train=False)
+    feats = jax.lax.stop_gradient(feats.astype(jnp.float32))
+    return head.apply({"params": hp}, feats, jnp.asarray(verbs),
+                      jnp.asarray(encoder.role_ids),
+                      jnp.asarray(encoder.role_mask), train=False)
+
+
+def test_composed_logits_match(encoder, ref_model, ours, batch):
+    images, verbs, labels = batch
+    timg = torch.from_numpy(images.transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        t_verb, t_nouns, t_gt = ref_model(timg, torch.from_numpy(verbs))
+    j_verb, j_nouns, j_gt = _ours_forward(encoder, ours, images, verbs)
+    # identical argmax-verb coupling between the two noun branches
+    np.testing.assert_array_equal(
+        np.argmax(np.asarray(j_verb), 1), t_verb.argmax(1).numpy())
+    for ref, out, name in [(t_verb, j_verb, "verb"),
+                           (t_nouns, j_nouns, "nouns"),
+                           (t_gt, j_gt, "gt_nouns")]:
+        np.testing.assert_allclose(np.asarray(out), ref.numpy(),
+                                   rtol=1e-4, atol=1e-4, err_msg=name)
+
+
+def test_composed_losses_match(encoder, ref_model, ours, batch):
+    images, verbs, labels = batch
+    timg = torch.from_numpy(images.transpose(0, 3, 1, 2))
+    tv = torch.from_numpy(verbs)
+    tl = torch.from_numpy(labels)
+    with torch.no_grad():
+        t_verb, t_nouns, t_gt = ref_model(timg, tv)
+        t_vl = ref_model.verb_loss(t_verb, tv).item()
+        t_nl = ref_model.nouns_loss(t_nouns, tl).item()
+        t_gl = ref_model.nouns_loss(t_gt, tl).item()
+    j_verb, j_nouns, j_gt = _ours_forward(encoder, ours, images, verbs)
+    L = encoder.get_num_labels()
+    assert float(verb_loss(j_verb, jnp.asarray(verbs))) == \
+        pytest.approx(t_vl, rel=1e-4)
+    assert float(nouns_loss(j_nouns, jnp.asarray(labels), L)) == \
+        pytest.approx(t_nl, rel=1e-4)
+    assert float(nouns_loss(j_gt, jnp.asarray(labels), L)) == \
+        pytest.approx(t_gl, rel=1e-4)
+
+
+def test_composed_gradients_match(encoder, ref_model, ours, batch):
+    """d(verb_loss + nouns_loss)/d(head params): torch vs jax, leaf by leaf
+    through the converter's name map (the exact loss the reference
+    backpropagates — gt branch excluded, sr.py:76)."""
+    images, verbs, labels = batch
+    timg = torch.from_numpy(images.transpose(0, 3, 1, 2))
+    tv = torch.from_numpy(verbs)
+    tl = torch.from_numpy(labels)
+    ref_model.zero_grad()
+    t_verb, t_nouns, _ = ref_model(timg, tv)
+    loss = ref_model.verb_loss(t_verb, tv) + ref_model.nouns_loss(t_nouns, tl)
+    loss.backward()
+    t_grads = {name: p.grad.numpy() if p.grad is not None else None
+               for name, p in ref_model.named_parameters()
+               if p.requires_grad}
+
+    L = encoder.get_num_labels()
+
+    def loss_fn(hp):
+        j_verb, j_nouns, _ = _ours_forward(encoder, ours, images, verbs,
+                                           head_params=hp)
+        return verb_loss(j_verb, jnp.asarray(verbs)) + \
+            nouns_loss(j_nouns, jnp.asarray(labels), L)
+
+    j_grads = jax.grad(loss_fn)(ours[4])
+
+    checked = 0
+    for name, (path, transpose) in torch_convert._head_param_map().items():
+        tg = t_grads[name]
+        if tg is None:
+            continue
+        node = j_grads
+        for p in path:
+            node = node[p]
+        jg = np.asarray(node)
+        if transpose:
+            jg = jg.T
+        np.testing.assert_allclose(jg, tg, rtol=5e-3, atol=2e-5,
+                                   err_msg=name)
+        checked += 1
+    assert checked >= 18  # embeddings + 14 ggsnn tensors + classifiers
+
+
+def test_torch_resume_continues_adamax_trajectory(encoder, ref_model, batch,
+                                                  tmp_path):
+    """Save a mid-training torch checkpoint (3 Adamax steps), resume it
+    through cli._load_resume, take one more step on both sides with
+    identical inputs: parameters must keep matching — i.e. the converted
+    exp_avg/exp_inf/step really continue the trajectory."""
+    import copy
+
+    from situation_recognition_tpu.cli import _load_resume
+    from situation_recognition_tpu.train import Trainer, TrainerConfig
+
+    images, verbs, labels = batch
+    timg = torch.from_numpy(images.transpose(0, 3, 1, 2))
+    tv = torch.from_numpy(verbs)
+    tl = torch.from_numpy(labels)
+
+    model = copy.deepcopy(ref_model)
+    model.eval()  # dropout off so both sides see identical gradients
+    trainable = [p for p in model.parameters() if p.requires_grad]
+    opt = torch.optim.Adamax(trainable, lr=0.002)
+    for _ in range(3):
+        opt.zero_grad()
+        pv, pn, _ = model(timg, tv)
+        (model.verb_loss(pv, tv) + model.nouns_loss(pn, tl)).backward()
+        torch.nn.utils.clip_grad_norm_(trainable, 1)
+        opt.step()
+
+    path = tmp_path / "torch_resume"
+    torch.save({
+        "epoch": 3,
+        "avg_scores": [1.0, 2.0, 3.0], "verb_losses": [], "nouns_losses": [],
+        "val_avg_scores": [], "val_verb_losses": [], "val_nouns_losses": [],
+        "model_state_dict": model.state_dict(),
+        "optimizer_state_dict": opt.state_dict(),
+    }, str(path))
+
+    cfg = TrainerConfig(hidden=D, batch_size=8, backbone="mini",
+                        compute_dtype=jnp.float32, lr=0.002)
+    trainer = Trainer(encoder, cfg)
+    ckpt = _load_resume(trainer, str(path))
+    assert ckpt["epoch"] == 3 and ckpt["avg_scores"] == [1.0, 2.0, 3.0]
+
+    # params after 3 torch steps converted exactly
+    np.testing.assert_allclose(
+        np.asarray(trainer.head_params["ggnn"]["w_p"]),
+        model.ggsnn.W_p.weight.detach().numpy().T, rtol=1e-6, atol=1e-7)
+
+    # step 4 on both sides
+    opt.zero_grad()
+    pv, pn, _ = model(timg, tv)
+    (model.verb_loss(pv, tv) + model.nouns_loss(pn, tl)).backward()
+    torch.nn.utils.clip_grad_norm_(trainable, 1)
+    opt.step()
+
+    import optax
+
+    L = encoder.get_num_labels()
+
+    def loss_fn(hp):
+        feats = trainer.backbone.apply(
+            {"params": trainer.backbone_params,
+             "batch_stats": trainer.backbone_stats},
+            jnp.asarray(images), train=False)
+        feats = jax.lax.stop_gradient(feats.astype(jnp.float32))
+        j_verb, j_nouns, _ = trainer.head.apply(
+            {"params": hp}, feats, jnp.asarray(verbs),
+            trainer.role_ids, trainer.role_mask, train=False)
+        return verb_loss(j_verb, jnp.asarray(verbs)) + \
+            nouns_loss(j_nouns, jnp.asarray(labels), L)
+
+    grads = jax.grad(loss_fn)(trainer.head_params)
+    updates, _ = trainer.tx.update(grads, trainer.opt_state,
+                                   trainer.head_params)
+    new_params = optax.apply_updates(trainer.head_params, updates)
+
+    for tname, (path_, transpose) in [
+        ("ggsnn.W_p.weight", (("ggnn", "w_p"), True)),
+        ("ggsnn.U_h.bias", (("ggnn", "b_u_h"), False)),
+        ("role_emb.weight", (("role_emb",), False)),
+        ("nouns_classifier.1.weight", (("nouns_classifier", "kernel"), True)),
+    ]:
+        t = dict(model.named_parameters())[tname].detach().numpy()
+        node = new_params
+        for p in path_:
+            node = node[p]
+        j = np.asarray(node)
+        if transpose:
+            j = j.T
+        np.testing.assert_allclose(j, t, rtol=1e-3, atol=1e-5,
+                                   err_msg=tname)

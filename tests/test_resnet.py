@@ -40,14 +40,14 @@ class TorchBottleneck(nn.Module):
 
 
 class TorchResNet(nn.Module):
-    def __init__(self, stage_sizes):
+    def __init__(self, stage_sizes, width=64):
         super().__init__()
-        self.conv1 = nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
-        self.bn1 = nn.BatchNorm2d(64)
+        self.conv1 = nn.Conv2d(3, width, 7, stride=2, padding=3, bias=False)
+        self.bn1 = nn.BatchNorm2d(width)
         self.relu = nn.ReLU(inplace=True)
         self.maxpool = nn.MaxPool2d(3, stride=2, padding=1)
-        self.inplanes = 64
-        planes = 64
+        self.inplanes = width
+        planes = width
         for i, blocks in enumerate(stage_sizes):
             stride = 1 if i == 0 else 2
             layers = []

@@ -160,9 +160,22 @@ def test_mid_epoch_checkpoint_resume(encoder, loaders, tmp_path):
     assert mids and mids[0]["batch_in_epoch"] == 1
     assert mids[0]["top1"]["count"] == 2
 
-    # fresh trainer resumes from the snapshot and completes the epoch
+    # round-trip the snapshot through the REAL checkpoint path (fit()'s
+    # save_mid writes it via save_checkpoint, whose to_state_dict turns
+    # loss_sums into an index dict; load_checkpoint must canonicalize it)
+    from situation_recognition_tpu.utils.checkpoint import (
+        load_checkpoint, save_checkpoint)
+
+    path = str(tmp_path / "mid_ckpt")
+    save_checkpoint(path, {"epoch": 0, "mid": mids[0],
+                           **tr.model_state_dict()})
+    mid = load_checkpoint(path)["mid"]
+    assert isinstance(mid["loss_sums"], list)
+    assert isinstance(mid["batch_in_epoch"], int)
+
+    # fresh trainer resumes from the disk snapshot and completes the epoch
     tr2 = Trainer(encoder, cfg)
     top1, top5, losses = tr2.train_epoch(train_loader, epoch=0,
-                                         mid_state=mids[0])
+                                         mid_state=mid)
     assert len(top1) == 5  # 2 (from snapshot) + 3 remaining
     assert all(np.isfinite(losses))
