@@ -175,6 +175,12 @@ def _load_resume(trainer, path: str):
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
 
+    # seed the stdlib RNG too (--subset samples via random.randrange like
+    # the reference, sr.py:294-295; seeding makes the mode reproducible
+    # and golden-testable — additive, the reference leaves it unseeded)
+    import random
+    random.seed(args.seed)
+
     import jax
     import jax.numpy as jnp
 
