@@ -1,42 +1,61 @@
-"""Fused Pallas TPU kernel for one GGNN propagation step.
+"""Fused Pallas TPU kernel: the ENTIRE 4-step GGNN propagation in one
+``pallas_call``.
 
 BASELINE north star: "the GGNN — role-graph adjacency matmul propagation plus
 GRU-style gated node updates — fuses into a single Pallas kernel per
-message-passing step."  This kernel computes, in ONE ``pallas_call`` per
-step, what the reference does with 8 separate torch ops per step
+message-passing step."  This kernel goes further than per-step fusion: each
+grid block holds whole examples (the role graph is ≤ R nodes, so propagation
+never crosses block boundaries) and runs ALL ``num_steps`` steps before
+writing h back, eliminating every intermediate HBM round-trip.  Per step and
+block it computes what the reference does with 8 separate torch ops
 (/root/reference/model.py:59-86):
 
-    s   = sum over each example's masked nodes of h
-    agg = mask ? (s - h) : h                (adjacency contraction —
-                                             masked-sum form, see ops/ggnn.py)
-    n   = agg @ W_p + N * b_p               (the reference's per-slot Linear
-                                             fires its bias N times per node)
-    zr = sigmoid([n; h] @ [[W_z W_r]; [U_z U_r]] + b_zr)
-    c  = tanh([n; r*h] @ [[W_h]; [U_h]] + b_c)
-    h' = (1 - z) * h + z * c
+    agg = E @ h                      (adjacency contraction, MXU — E is the
+                                      block-diagonal imSitu adjacency built
+                                      in-kernel from the role mask:
+                                      E = same_example * m m^T + diag(1-2m))
+    n   = agg @ W_p + R * b_p        (the reference's per-slot Linear fires
+                                      its bias R = max_role_count times)
+    z   = sigmoid([n; h] @ [W_z; U_z] + b_z)
+    r   = sigmoid([n; h] @ [W_r; U_r] + b_r)
+    c   = tanh([n; r*h] @ [W_h; U_h] + b_c)
+    h'  = (1 - z) * h + z * c
 
-Layout: rows are (example, node) pairs with the node dim padded to
-``NODE_TILE = 8`` (sublane-friendly); extra pad nodes carry mask 0 and evolve
-independently (self-message), exactly like the reference's pad roles, and
-are sliced off by the wrapper.  The three matmul groups stream their weight
-k-tiles HBM→VMEM with double-buffered async DMA while accumulating in fp32
-VMEM scratch; gates and the blend are fused in-register (VPU) before the
-single bf16 write-back of h'.
+Design notes (v5e, B=1536, R=6, D=2048, 4 steps, bf16):
+
+* **Native R rows.**  The round-1 kernel padded the node dim 6→8 for sublane
+  alignment — 33% wasted FLOPs.  Here rows stay at R per example; the
+  per-example masked sum is an (bm, bm) @ (bm, d) MXU matmul against the
+  block-diagonal adjacency (≈3% FLOP overhead), so no sublane-hostile
+  reshape is needed and bm only has to be a multiple of lcm(R, 16).
+* **4-step fusion amortizes weight streaming.**  All 7 weight matrices are
+  ~59 MB bf16 — too big for VMEM — so they stream per (block, step) as
+  double-buffered kt-wide k-tiles through one shared buffer.  Fewer, larger
+  row blocks (bm=384) cut total weight traffic to ~5.6 GB per propagate
+  (the round-1 per-step kernel moved ~22 GB and was DMA-bound at 32 ms).
+* **One f32 accumulator.**  z/r/c are computed sequentially through a single
+  (bm, d) f32 scratch instead of a (bm, 2d) zr accumulator — that VMEM saving
+  is what allows bm=288 (round 1's ceiling was bm=192; bm=384 still exceeds
+  the 16 MB budget by 1.6 MB).
+
+Measured (flagship shape, 20-iter steady state, kt=256, statically unrolled
+k-loop): **15.1 ms vs round 1's 32 ms** — but plain XLA masked-sum runs the
+same math at **13.5 ms (160 TF/s, ~81% MXU)**, so ``masked`` remains the
+production default.  Why XLA keeps a ~12% edge here: its 7 separate d×d
+GEMMs hold each weight matrix resident in VMEM and stream only activations
+(~0.65 GB/step), which is optimal when activations (38 MB) are smaller than
+the weight set (59 MB); the fused kernel must re-stream all 59 MB per
+288-row block (7.5 GB per propagate ≈ 9.2 ms of DMA against ~11 ms of MXU
+work), and Mosaic cannot lower bf16 transcendentals, so the gate epilogues
+pay full-f32 VPU traffic.  The op is compute-bound under XLA, so the fusion
+win (no intermediate HBM round-trips) has nothing to buy back.  Numerical
+agreement with the XLA path: max |diff| ≈ 0.016 (bf16 resolution, 4 steps).
 
 The wrapper ``ggnn_propagate_pallas`` is a drop-in replacement for
 ``ops.ggnn.ggnn_propagate`` with a ``jax.custom_vjp``: forward runs this
 kernel; backward differentiates the (mathematically identical) masked-sum
 XLA implementation, recomputing activations (rematerialization — the fused
 forward never writes intermediates to HBM, so there is nothing to save).
-
-Measured on TPU v5e (B=1536, R=6, D=2048, 4 steps, bf16): this kernel runs
-at 32 ms (67 TF/s effective) vs 12.8 ms (169 TF/s, ~86% of nominal peak)
-for the plain-XLA masked-sum formulation — XLA's matmul codegen + epilogue
-fusion already saturates the MXU for these large dense GEMMs, so the fused
-kernel is kept as an optional implementation (``TrainerConfig.ggnn_impl =
-"pallas"``) and correctness oracle, while ``masked`` remains the production
-default.  Numerical agreement: max |diff| = 0.008-0.016 (bf16 resolution)
-over 4 steps.
 """
 
 from __future__ import annotations
@@ -50,26 +69,28 @@ from jax.experimental.pallas import tpu as pltpu
 
 from situation_recognition_tpu.ops.ggnn import GGNNParams, ggnn_propagate
 
-NODE_TILE = 8
 
+def _propagate_kernel(h_ref, mask_ref, wp_ref, bp_ref, wz_ref, bz_ref,
+                      wr_ref, br_ref, wc_ref, bc_ref, out_ref,
+                      xnh_ref, acc_ref, z_ref, e_ref, wbuf, sem,
+                      *, bm: int, d: int, kt: int, r: int, steps: int,
+                      bias_mult: float):
+    """num_steps of GGNN for one (bm, d) block of whole examples.
 
-def _step_kernel(h_ref, mask_ref, wp_ref, bp_ref, wzr_ref, bzr_ref,
-                 wc_ref, bc_ref, out_ref,
-                 acc_ref, xnh_ref, zr_ref, wbuf_p, wbuf_zr, wbuf_c, sem,
-                 *, bm: int, d: int, kt: int, bias_mult: float):
-    """One fused GGNN step for a (bm, d) row block.
-
-    acc_ref  (bm, d)  f32  scratch — projection then candidate accumulator
-    xnh_ref  (bm, 2d) bf16 scratch — [n | h] for group 2, [n | r*h] for
-                                     group 3 (contiguous so k-tiles slice
-                                     one ref without per-tile control flow)
-    zr_ref   (bm, 2d) f32  scratch — z|r pre-activation accumulator
-    wbuf_*   (2, kt, ...) bf16 scratch — double-buffered weight tiles
+    xnh_ref (bm, 2d) bf16 — [agg|·] for group 1, [n|h] for z/r, [n|r*h] for c
+    acc_ref (bm, d)  f32  — shared matmul accumulator
+    z_ref   (bm, d)  bf16 — update gate, kept across the c-group matmul
+    e_ref   (bm, bm) bf16 — block-diagonal adjacency (built once per block)
+    wbuf    (2, kt, d) bf16 — double-buffered weight k-tiles (shared by all
+                              four weight streams; every group outputs d)
     """
-    h = h_ref[:]                                    # (bm, d) bf16
 
-    def stream_matmul(acc, w_hbm, wbuf, x_ref, total_k):
-        """acc += sum_k x_ref[:, k-tile] @ w_hbm[k-tile, :]."""
+    def stream_matmul(w_hbm, total_k):
+        """acc_ref = sum_k xnh[:, k-tile] @ w_hbm[k-tile, :] (f32 accum).
+
+        Statically unrolled (nk is compile-time): no loop/branch overhead,
+        and the first tile writes acc directly instead of zero+accumulate.
+        """
         nk = total_k // kt
 
         def dma(slot, ki):
@@ -77,133 +98,141 @@ def _step_kernel(h_ref, mask_ref, wp_ref, bp_ref, wzr_ref, bzr_ref,
                 w_hbm.at[pl.ds(ki * kt, kt), :], wbuf.at[slot], sem.at[slot])
 
         dma(0, 0).start()
-
-        def body(ki, _):
+        for ki in range(nk):
             slot = ki % 2
-
-            @pl.when(ki + 1 < nk)
-            def _():
+            if ki + 1 < nk:
                 dma((ki + 1) % 2, ki + 1).start()
-
             dma(slot, ki).wait()
-            acc[:] += jnp.dot(x_ref[:, pl.ds(ki * kt, kt)], wbuf[slot],
-                              preferred_element_type=jnp.float32)
-            return 0
+            tile = jnp.dot(xnh_ref[:, pl.ds(ki * kt, kt)], wbuf[slot],
+                           preferred_element_type=jnp.float32)
+            if ki == 0:
+                acc_ref[:] = tile
+            else:
+                acc_ref[:] += tile
 
-        jax.lax.fori_loop(0, nk, body, 0, unroll=False)
+    # block-diagonal adjacency from the role mask (once per block; the mask
+    # is constant across steps):  E[i,j] = same_ex(i,j)*m_i*m_j for i!=j,
+    # E[i,i] = 1-m_i  — exactly the reference get_adj_matrix_noself tiles
+    m = mask_ref[:]                                       # (bm, 1) f32
+    ii = jax.lax.broadcasted_iota(jnp.int32, (bm, bm), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (bm, bm), 1)
+    same = (ii // r == jj // r).astype(jnp.float32)
+    diag = (ii == jj).astype(jnp.float32)
+    e = same * (m * m.reshape(1, bm)) + diag * (1.0 - 2.0 * m)
+    e_ref[:] = e.astype(jnp.bfloat16)
 
-    # ---- neighbour aggregation (masked sum per example, pre-projection) --
-    mask = mask_ref[:]                              # (bm, 1) f32
-    groups = bm // NODE_TILE
-    hg = h.astype(jnp.float32).reshape(groups, NODE_TILE, d)
-    mg = mask.reshape(groups, NODE_TILE, 1)
-    s = jnp.sum(hg * mg, axis=1, keepdims=True)     # (groups, 1, d)
-    agg = jnp.where(mg > 0, s - hg, hg).reshape(bm, d)
-    xnh_ref[:, :d] = agg.astype(jnp.bfloat16)
+    out_ref[:] = h_ref[:]
 
-    # ---- group 1: n = agg @ W_p + N * b_p (per-slot bias, see ops/ggnn) --
-    acc_ref[:] = jnp.zeros((bm, d), jnp.float32)
-    stream_matmul(acc_ref, wp_ref, wbuf_p, xnh_ref, d)
-    n = acc_ref[:] + bias_mult * bp_ref[:]          # (bm, d) f32
-    xnh_ref[:, :d] = n.astype(jnp.bfloat16)
-    xnh_ref[:, d:] = h
-
-    # ---- group 2: zr = sigmoid([n; h] @ Wzr + b_zr) ----------------------
-    zr_ref[:] = jnp.zeros((bm, 2 * d), jnp.float32)
-    stream_matmul(zr_ref, wzr_ref, wbuf_zr, xnh_ref, 2 * d)
-    zr = jax.nn.sigmoid(zr_ref[:] + bzr_ref[:])
-    z = zr[:, :d]
-    r = zr[:, d:]
-
-    # ---- group 3: c = tanh([n; r*h] @ Wc + b_c) --------------------------
-    acc_ref[:] = jnp.zeros((bm, d), jnp.float32)
-    xnh_ref[:, d:] = (r * h.astype(jnp.float32)).astype(jnp.bfloat16)
-    stream_matmul(acc_ref, wc_ref, wbuf_c, xnh_ref, 2 * d)
-    c = jnp.tanh(acc_ref[:] + bc_ref[:])
-
-    # ---- blend -----------------------------------------------------------
-    hf = h.astype(jnp.float32)
-    out_ref[:] = ((1.0 - z) * hf + z * c).astype(out_ref.dtype)
+    for _ in range(steps):
+        h = out_ref[:]                                    # (bm, d) bf16
+        # adjacency contraction on the MXU
+        agg = jnp.dot(e_ref[:], h, preferred_element_type=jnp.float32)
+        xnh_ref[:, :d] = agg.astype(jnp.bfloat16)
+        # n = agg @ W_p + R * b_p  (per-slot bias, see ops/ggnn.py)
+        stream_matmul(wp_ref, d)
+        n = acc_ref[:] + bias_mult * bp_ref[:]
+        xnh_ref[:, :d] = n.astype(jnp.bfloat16)
+        xnh_ref[:, d:] = h
+        # gates stay f32: Mosaic cannot lower bf16 transcendentals
+        # (vector.broadcast element-type verification failure)
+        # z = sigmoid([n; h] @ [W_z; U_z] + b_z)
+        stream_matmul(wz_ref, 2 * d)
+        z_ref[:] = jax.nn.sigmoid(acc_ref[:] + bz_ref[:]).astype(jnp.bfloat16)
+        # r = sigmoid([n; h] @ [W_r; U_r] + b_r)
+        stream_matmul(wr_ref, 2 * d)
+        rr = jax.nn.sigmoid(acc_ref[:] + br_ref[:])
+        hf = h.astype(jnp.float32)
+        xnh_ref[:, d:] = (rr * hf).astype(jnp.bfloat16)
+        # c = tanh([n; r*h] @ [W_h; U_h] + b_c)
+        stream_matmul(wc_ref, 2 * d)
+        c = jnp.tanh(acc_ref[:] + bc_ref[:])
+        z = z_ref[:].astype(jnp.float32)
+        out_ref[:] = ((1.0 - z) * hf + z * c).astype(out_ref.dtype)
 
 
 def pack_weights(params: GGNNParams, dtype=jnp.bfloat16):
-    """Pack the 7 dense layers into the kernel's 3 matmul groups."""
+    """Pack the 7 dense layers into the kernel's 4 matmul groups
+    (all (., d)-shaped outputs so one weight buffer serves every stream)."""
     wp = params.w_p.astype(dtype)
     bp = params.b_p.astype(jnp.float32)[None, :]
-    wzr = jnp.block([[params.w_z, params.w_r],
-                     [params.u_z, params.u_r]]).astype(dtype)
-    bzr = jnp.concatenate([params.b_wz + params.b_uz,
-                           params.b_wr + params.b_ur]
-                          ).astype(jnp.float32)[None, :]
+    wz = jnp.concatenate([params.w_z, params.u_z], axis=0).astype(dtype)
+    bz = (params.b_wz + params.b_uz).astype(jnp.float32)[None, :]
+    wr = jnp.concatenate([params.w_r, params.u_r], axis=0).astype(dtype)
+    br = (params.b_wr + params.b_ur).astype(jnp.float32)[None, :]
     wc = jnp.concatenate([params.w_h, params.u_h], axis=0).astype(dtype)
     bc = (params.b_wh + params.b_uh).astype(jnp.float32)[None, :]
-    return wp, bp, wzr, bzr, wc, bc
+    return wp, bp, wz, bz, wr, br, wc, bc
 
 
-def ggnn_step_pallas(packed, h, mask_rows, *, bm: int = 128,
-                     kt: int = 128, bias_mult: float = 1.0,
-                     interpret: bool = False):
-    """One fused step.  h (M, D) bf16, mask_rows (M, 1) f32; M % bm == 0,
-    bm % 8 == 0, D % kt == 0.  ``bias_mult`` is the logical node count N
-    (the reference's per-slot bias fires N times per node)."""
-    wp, bp, wzr, bzr, wc, bc = packed
+def _pick_bm(m: int, r: int) -> int:
+    """Largest block (multiple of lcm(r, 16), whole examples, divides m)
+    that fits the VMEM budget; preference order favours fewer blocks since
+    weight traffic scales with the block count."""
+    import math
+
+    unit = (r * 16) // math.gcd(r, 16)
+    # 288 is the VMEM ceiling at d=2048: bm=384 needs 17.6 MB (in/out blocks
+    # + 2d-wide xnh + f32 acc + weight double-buffers) vs the 16 MB budget
+    for bm in (288, 192, 96, 48, 16, 8):
+        if bm % unit == 0 and m % bm == 0:
+            return bm
+    return unit if m % unit == 0 else r
+
+
+def ggnn_propagate_fused(packed, h, mask_rows, *, r: int, steps: int,
+                         bias_mult: float, kt: int = 256,
+                         interpret: bool = False):
+    """h (M, D) bf16 rows of whole examples (M % r == 0), mask (M, 1) f32."""
     m, d = h.shape
-    assert m % bm == 0 and bm % NODE_TILE == 0 and d % kt == 0, (m, bm, d, kt)
-
-    kernel = functools.partial(_step_kernel, bm=bm, d=d, kt=kt,
+    bm = _pick_bm(m, r)
+    kernel = functools.partial(_propagate_kernel, bm=bm, d=d,
+                               kt=kt if d % kt == 0 else d, r=r, steps=steps,
                                bias_mult=bias_mult)
-    grid = (m // bm,)
     return pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(m // bm,),
         in_specs=[
             pl.BlockSpec((bm, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bm, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),          # wp  (d, d)
+            pl.BlockSpec(memory_space=pl.ANY),             # wp  (d, d)
             pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),          # wzr (2d, 2d)
-            pl.BlockSpec((1, 2 * d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),          # wc  (2d, d)
+            pl.BlockSpec(memory_space=pl.ANY),             # wz  (2d, d)
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),             # wr  (2d, d)
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),             # wc  (2d, d)
             pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bm, d), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, d), h.dtype),
         scratch_shapes=[
+            pltpu.VMEM((bm, 2 * d), jnp.bfloat16),   # xnh
             pltpu.VMEM((bm, d), jnp.float32),        # acc
-            pltpu.VMEM((bm, 2 * d), jnp.bfloat16),   # [n | h] / [n | r*h]
-            pltpu.VMEM((bm, 2 * d), jnp.float32),    # zr acc
-            pltpu.VMEM((2, kt, d), jnp.bfloat16),    # wp tiles
-            pltpu.VMEM((2, kt, 2 * d), jnp.bfloat16),
-            pltpu.VMEM((2, kt, d), jnp.bfloat16),
+            pltpu.VMEM((bm, d), jnp.bfloat16),       # z
+            pltpu.VMEM((bm, bm), jnp.bfloat16),      # E
+            pltpu.VMEM((2, kt if d % kt == 0 else d, d), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(h, mask_rows, wp, bp, wzr, bzr, wc, bc)
+    )(h, mask_rows, *packed)
 
 
 def _propagate_fwd_impl(params: GGNNParams, hidden, mask, num_steps: int,
                         interpret: bool):
     """hidden (B, R, D), mask (B, R) → (B, R, D) via the fused kernel."""
+    import os
+
     b, r, d = hidden.shape
     dtype = hidden.dtype
-    # pad node dim to NODE_TILE with mask-0 nodes (independent, sliced off)
-    if r < NODE_TILE:
-        hidden = jnp.pad(hidden, ((0, 0), (0, NODE_TILE - r), (0, 0)))
-        mask = jnp.pad(mask, ((0, 0), (0, NODE_TILE - r)))
-    m = b * NODE_TILE
-    # bm=128/kt=128 is the validated config: bm=192 exceeds the 16M VMEM
-    # budget (Pallas double-buffers the I/O blocks) and kt=64 crashes the
-    # Mosaic compiler; see module docstring for measured numbers.
-    bm = 128 if m % 128 == 0 else NODE_TILE
-    kt = 128 if d % 128 == 0 else d
-    h = hidden.reshape(m, d).astype(jnp.bfloat16)
-    mask_rows = mask.reshape(m, 1).astype(jnp.float32)
+    h = hidden.reshape(b * r, d).astype(jnp.bfloat16)
+    mask_rows = mask.reshape(b * r, 1).astype(jnp.float32)
     packed = pack_weights(params)
-    for _ in range(num_steps):
-        h = ggnn_step_pallas(packed, h, mask_rows, bm=bm, kt=kt,
-                             bias_mult=float(r), interpret=interpret)
-    return h.reshape(b, NODE_TILE, d)[:, :r, :].astype(dtype)
+    kt = int(os.environ.get("SRTPU_GGNN_KT", 256))
+    out = ggnn_propagate_fused(packed, h, mask_rows, r=r, steps=num_steps,
+                               bias_mult=float(r), kt=kt,
+                               interpret=interpret)
+    return out.reshape(b, r, d).astype(dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))

@@ -59,6 +59,15 @@ class TrainerConfig:
     model_axis: int = 1                  # >1 enables classifier TP
     ggnn_impl: str = "masked"            # masked | pallas
     ggnn_remat: bool = False             # remat GGNN steps (memory saver)
+    # BN mode of the FROZEN backbone during train steps:
+    #   "train": batch-stats + running-stat updates — reference parity
+    #            (the reference's model.train() puts its frozen convnets in
+    #            train-mode BN, sr.py:52 / model.py:17-18).
+    #   "eval":  running stats only — measured 39% faster on v5e (train-mode
+    #            BN forces two extra bandwidth-bound passes over every
+    #            activation: the f32 stat reduction and the re-normalize);
+    #            diverges from the reference's learning trajectory.
+    frozen_backbone_bn: str = "train"    # train (parity) | eval (fast)
 
 
 _RESNETS = {
@@ -181,11 +190,12 @@ class Trainer:
                  images, flip, verbs, train, dropout_key):
         x = device_transform(images, flip if train else None,
                              dtype=self.config.compute_dtype)
+        bb_train = train and self.config.frozen_backbone_bn != "eval"
         if not self._backbone_has_bn:
             feats = self.backbone.apply(
-                {"params": backbone_params}, x, train=train)
+                {"params": backbone_params}, x, train=bb_train)
             new_stats = backbone_stats
-        elif train:
+        elif bb_train:
             feats, updates = self.backbone.apply(
                 {"params": backbone_params, "batch_stats": backbone_stats},
                 x, train=True, mutable=["batch_stats"])

@@ -65,6 +65,28 @@ def test_eval_transform_close_to_pil(img_dir):
     assert max_diff < 1.0, max_diff
 
 
+def test_resize_matrix_matches_jax_image_resize():
+    """The static separable-resize matrix must reproduce
+    jax.image.resize(linear, antialias=True) exactly (same weights)."""
+    import jax
+    import jax.numpy as jnp
+
+    from situation_recognition_tpu.data.transforms import _resize_matrix
+
+    for src, dst in [(256, 224), (300, 224)]:
+        m = _resize_matrix(src, dst)
+        want = np.asarray(jax.image.resize(
+            jnp.eye(src, dtype=jnp.float32), (src, dst),
+            method="linear", antialias=True))
+        np.testing.assert_allclose(m, want, rtol=1e-4, atol=1e-5)
+        rng = np.random.default_rng(0)
+        v = rng.random((4, src), np.float32)
+        got = v @ m
+        want_v = np.asarray(jax.image.resize(
+            jnp.asarray(v), (4, dst), method="linear", antialias=True))
+        np.testing.assert_allclose(got, want_v, rtol=1e-4, atol=1e-5)
+
+
 def test_device_transform_shapes_and_range():
     rng = np.random.default_rng(1)
     u8 = rng.integers(0, 255, (3, 256, 256, 3), dtype=np.uint8)

@@ -64,12 +64,17 @@ def test_pallas_grad_matches_masked_grad():
 
 def test_pack_weights_shapes():
     params = init_ggnn_params(jax.random.PRNGKey(0), 128)
-    wp, bp, wzr, bzr, wc, bc = pack_weights(params)
+    wp, bp, wz, bz, wr, br, wc, bc = pack_weights(params)
     assert wp.shape == (128, 128)
-    assert wzr.shape == (256, 256)
+    assert wz.shape == (256, 128) and wr.shape == (256, 128)
     assert wc.shape == (256, 128)
-    assert bzr.shape == (1, 256)
-    # bias packing: combined W+U biases
+    assert bz.shape == (1, 128)
+    # bias packing: combined W+U biases; [W; U] stacking along k
     np.testing.assert_allclose(
-        np.asarray(bzr[0, :128]),
-        np.asarray(params.b_wz + params.b_uz), rtol=1e-6)
+        np.asarray(bz[0]), np.asarray(params.b_wz + params.b_uz), rtol=1e-6)
+    import jax.numpy as jnp
+
+    np.testing.assert_array_equal(
+        np.asarray(wc[:128]), np.asarray(params.w_h.astype(jnp.bfloat16)))
+    np.testing.assert_array_equal(
+        np.asarray(wc[128:]), np.asarray(params.u_h.astype(jnp.bfloat16)))
