@@ -47,16 +47,24 @@ def make_shardmap_train_step(trainer):
 
     from situation_recognition_tpu.data.transforms import device_transform
 
+    bb_train = trainer.config.frozen_backbone_bn != "eval"
+
     def local_forward(head_params, backbone_params, backbone_stats,
                       images, flip, verbs, dropout_key):
         x = device_transform(images, flip, dtype=dtype)
-        if has_bn:
+        if has_bn and bb_train:
             feats, updates = backbone.apply(
                 {"params": backbone_params, "batch_stats": backbone_stats},
                 x, train=True, mutable=["batch_stats"])
             new_stats = updates["batch_stats"]
+        elif has_bn:
+            feats = backbone.apply(
+                {"params": backbone_params, "batch_stats": backbone_stats},
+                x, train=False)
+            new_stats = backbone_stats
         else:
-            feats = backbone.apply({"params": backbone_params}, x, train=True)
+            feats = backbone.apply({"params": backbone_params}, x,
+                                   train=bb_train)
             new_stats = backbone_stats
         feats = jax.lax.stop_gradient(feats.astype(jnp.float32))
         outs = head.apply({"params": head_params}, feats, verbs,
@@ -100,18 +108,30 @@ def make_shardmap_train_step(trainer):
                 hp, backbone_params, backbone_stats, images, flip, verbs,
                 shard_key)
             terms = local_loss_terms(outs, verbs, labels, valid)
-            # psum numerators and denominators → global masked means
-            g = [(jax.lax.psum(a, "data"), jax.lax.psum(b, "data"))
-                 for a, b in terms]
-            vloss = g[0][0] / g[0][1]
-            nloss = sum(a / jnp.maximum(b, 1) for a, b in g[1:4])
-            gloss = sum(a / jnp.maximum(b, 1) for a, b in g[4:7])
-            return vloss + nloss, (outs, new_stats, vloss, nloss, gloss)
+            # Differentiate each shard's LOCAL SHARE of the global masked
+            # means: local numerator over the psum'd (stop-gradient'd —
+            # counts only, no param path) global denominator.  Putting the
+            # psum'd loss itself under jax.grad would be wrong twice over:
+            # psum's shard_map transpose re-psums the replicated cotangent
+            # (an extra ×axis_size), and each shard would still hold only
+            # its partial gradient.  grads are all-reduced explicitly below.
+            dens = [jax.lax.psum(jax.lax.stop_gradient(b), "data")
+                    for _, b in terms]
+            v_l = terms[0][0] / dens[0]
+            n_l = sum(terms[i][0] / jnp.maximum(dens[i], 1) for i in (1, 2, 3))
+            g_l = sum(terms[i][0] / jnp.maximum(dens[i], 1) for i in (4, 5, 6))
+            return v_l + n_l, (outs, new_stats, v_l, n_l, g_l)
 
-        grads, (outs, new_stats, vloss, nloss, gloss) = jax.grad(
+        grads, (outs, new_stats, v_l, n_l, g_l) = jax.grad(
             loss_fn, has_aux=True)(head_params)
-        # loss already psum-normalized → grads are global means; params and
-        # optimizer state stay replicated (identical update on every shard)
+        # DataParallel gradient all-reduce (the reference reduces on GPU0,
+        # sr.py:469; on TPU the psum rides ICI); afterwards every shard
+        # applies the identical update, preserving param replication
+        grads = jax.tree.map(lambda g: jax.lax.psum(g, "data"), grads)
+        # global logged losses = sum of the local shares
+        vloss = jax.lax.psum(v_l, "data")
+        nloss = jax.lax.psum(n_l, "data")
+        gloss = jax.lax.psum(g_l, "data")
         updates, opt_state = tx.update(grads, opt_state, head_params)
         head_params = optax.apply_updates(head_params, updates)
         # per-shard BN stats → average across shards for the running state

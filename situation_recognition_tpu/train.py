@@ -53,6 +53,7 @@ class TrainerConfig:
     batch_size: int = 6144
     epochs: int = 1000
     num_ggnn_steps: int = 4
+    dropout_rate: float = 0.5            # reference hardcodes 0.5 (model.py:105-111)
     backbone: str = "resnet152"          # resnet50/101/152 | mini (tests)
     compute_dtype: Any = jnp.bfloat16    # bf16 on TPU; tests use float32
     seed: int = 0
@@ -140,6 +141,7 @@ class Trainer:
             max_role_count=encoder.max_role_count,
             hidden=config.hidden,
             num_steps=config.num_ggnn_steps,
+            dropout_rate=config.dropout_rate,
             dtype=dt,
             ggnn_impl=config.ggnn_impl,
             ggnn_remat=config.ggnn_remat,
