@@ -81,3 +81,28 @@ def test_dp_matches_single_device(encoder):
                             arrays["verbs"], arrays["labels"], valid)
         results.append([float(x) for x in out[0]])
     np.testing.assert_allclose(results[0], results[1], rtol=2e-4)
+
+
+def test_pallas_ggnn_matches_masked_under_dp_mesh(encoder):
+    """ggnn_impl='pallas' must partition correctly over the 8-device data
+    mesh: same batch, same seed, losses match the masked XLA path up to the
+    kernel's internal bf16 rounding.  A mispartitioned kernel (scrambled
+    example grouping in the per-example masked sum) diverges far beyond
+    that."""
+    batch = _batch(encoder, 16, seed=4)
+    losses = {}
+    for impl in ("masked", "pallas"):
+        mesh = make_mesh()
+        cfg = TrainerConfig(hidden=64, batch_size=16, backbone="mini",
+                            compute_dtype=jnp.float32, seed=5,
+                            ggnn_impl=impl)
+        tr = Trainer(encoder, cfg, mesh=mesh)
+        arrays, valid, _ = tr._pad_batch(batch)
+        out = tr._train_step(tr.head_params, tr.opt_state,
+                             tr.backbone_params, tr.backbone_stats,
+                             jax.random.PRNGKey(0), arrays["images"],
+                             arrays["flip"], arrays["verbs"],
+                             arrays["labels"], valid)
+        losses[impl] = [float(x) for x in out[3]]
+    np.testing.assert_allclose(losses["pallas"], losses["masked"],
+                               rtol=5e-3, atol=5e-3)
