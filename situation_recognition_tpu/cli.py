@@ -19,6 +19,7 @@ checkpoints (converted on the fly, incl. the pretrained ``resnet152_sr``).
 from __future__ import annotations
 
 import json
+import os
 from argparse import ArgumentParser
 from os.path import isfile as pisfile, join as pjoin
 from pathlib import Path
@@ -198,6 +199,15 @@ def main(argv=None) -> None:
 
     Path(args.saving_folder).mkdir(exist_ok=True)
     checkpoint = None
+
+    # persistent XLA compilation cache: the jitted train/eval/infer steps
+    # cost ~20-40 s to compile on TPU; caching makes repeat CLI invocations
+    # (evaluate, test_img, subset, resume) start in seconds.  An explicit
+    # JAX_COMPILATION_CACHE_DIR env var wins over the default location.
+    if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        jax.config.update("jax_compilation_cache_dir",
+                          str(Path(args.saving_folder) / ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     # encoder json is always train.json (reference behavior, sr.py:429-430)
     encoder_json = _load_json(pjoin(args.dataset_folder, 'train.json'))

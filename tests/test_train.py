@@ -54,6 +54,32 @@ def test_overfit_smoke(trainer, loaders):
     assert last[0] + last[1] < first[0] + first[1], (first, last)
 
 
+def test_overfit_to_convergence(encoder, img_dir, overfitting_json):
+    """Strong learning evidence (the closest accessible stand-in for the
+    BASELINE accuracy target without the real dataset): the model must
+    MEMORIZE the 5-image fixture — 100% train verb top-1 and gt-value —
+    not merely reduce the loss.  Deterministic eval-mode windows (no
+    augmentation) + dropout off so convergence is exact memorization."""
+    import jax.numpy as jnp
+
+    ds = ImsituDataset(img_dir, overfitting_json, encoder, train=False)
+    loader = ImsituLoader(ds, batch_size=8, shuffle=False)
+    cfg = TrainerConfig(hidden=64, batch_size=8, backbone="mini",
+                        compute_dtype=jnp.float32, lr=0.01,
+                        dropout_rate=0.0, frozen_backbone_bn="eval")
+    tr = Trainer(encoder, cfg)
+    first = None
+    for e in range(100):
+        top1, _, losses = tr.train_epoch(loader, epoch=e)
+        if first is None:
+            first = losses
+    avg = top1.get_average_results_both()
+    assert avg["verb"] == 1.0, avg
+    assert avg["gt-value"] == 1.0, avg
+    assert losses[0] < 0.5 * first[0], (first, losses)
+    assert losses[1] < 0.5 * first[1], (first, losses)
+
+
 def test_evaluate_output_format(trainer, loaders, capsys):
     _, dev_loader = loaders
     top1, top5, val_losses, avg = trainer.evaluate(dev_loader, logging=True)
