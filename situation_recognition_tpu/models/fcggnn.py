@@ -13,8 +13,9 @@ Structural differences from the reference, all behavior-preserving:
   (model.py:117,147) are replaced by device gathers from the encoder's
   precomputed ``(V, R)`` tables, passed in as arrays.
 * The two ``predict_nouns`` branches of the training forward (argmax-verb and
-  gt-verb, model.py:176-178) are stacked into one batch of 2B for a single
-  GGNN propagation — same math, one kernel launch, better MXU utilization.
+  gt-verb, model.py:176-178) run as separate calls so AD prunes the gt
+  branch's backward — it feeds only the logged (never backpropagated) gt
+  loss.  See ``__call__``.
 
 Semantics preserved: node init ``relu(f * role_emb * verb_emb)``
 (model.py:143-144), relu on features only in the verb branch (model.py:160),
@@ -167,16 +168,20 @@ class FCGGNNHead(nn.Module):
                  train: bool = False):
         """Full training forward → (pred_verb, pred_nouns, gt_pred_nouns).
 
-        The two noun branches run as one stacked batch of 2B.
+        The two noun branches are separate calls on purpose: the gt branch
+        feeds only the LOGGED gt loss (excluded from backprop, sr.py:76), so
+        when it is its own call JAX's AD prunes its entire backward — a
+        stacked 2B batch (round 1's design) forced GGNN + classifier
+        backward matmuls over the gt half with an all-zero cotangent,
+        ~13 ms/step of dead FLOPs at the flagship shape.  Forward equality
+        of stacked vs separate calls is asserted in tests/test_fcggnn.py.
         """
         pred_verb = self.predict_verb(features, train=train)
         pred_verb_ids = jnp.argmax(pred_verb, axis=1)
-
-        stacked_feats = jnp.concatenate([features, features], axis=0)
-        stacked_verbs = jnp.concatenate([pred_verb_ids, gt_verb], axis=0)
-        stacked = self.predict_nouns(
-            stacked_feats, stacked_verbs, role_ids, role_mask, train=train)
-        pred_nouns, gt_pred_nouns = jnp.split(stacked, 2, axis=0)
+        pred_nouns = self.predict_nouns(
+            features, pred_verb_ids, role_ids, role_mask, train=train)
+        gt_pred_nouns = self.predict_nouns(
+            features, gt_verb, role_ids, role_mask, train=train)
         return pred_verb, pred_nouns, gt_pred_nouns
 
 
