@@ -263,3 +263,29 @@ def test_torch_resume_continues_adamax_trajectory(encoder, ref_model, batch,
             j = j.T
         np.testing.assert_allclose(j, t, rtol=1e-3, atol=1e-5,
                                    err_msg=tname)
+
+    # the offline tool writes the same converted optimizer state
+    import sys
+    from unittest import mock
+
+    import tools.convert_torch as tool
+
+    dst = str(tmp_path / "converted_msgpack")
+    with mock.patch.object(sys, "argv",
+                           ["convert_torch.py", "checkpoint", str(path), dst]):
+        tool.main()
+    from flax import serialization
+
+    from situation_recognition_tpu.utils.checkpoint import load_checkpoint
+
+    ckpt2 = load_checkpoint(dst)
+    assert ckpt2["opt_state"] is not None
+    restored = serialization.from_state_dict(trainer.opt_state,
+                                             ckpt2["opt_state"])
+    adamax_state = None
+    for s in jax.tree.leaves(restored, is_leaf=lambda x: hasattr(x, "mu")):
+        if hasattr(s, "mu"):
+            adamax_state = s
+    assert adamax_state is not None
+    assert int(adamax_state.count) == 3  # checkpoint was saved after 3 steps
+

@@ -9,9 +9,10 @@ Usage:
   # full reference checkpoint (resnet152_sr) → framework resume checkpoint
   python tools/convert_torch.py checkpoint resnet152_sr sr_converted
 
-The reference checkpoint's epoch + metric histories are carried over so
-``--resume_model sr_converted`` resumes exactly where the torch run stopped
-(optimizer state starts fresh: torch Adamax state is not transferable).
+The reference checkpoint's epoch + metric histories are carried over, and
+the torch Adamax optimizer state converts to optax (exp_avg/exp_inf/step →
+mu/nu/count), so ``--resume_model sr_converted`` continues the exact
+optimizer trajectory the torch run was on.
 """
 
 import argparse
@@ -44,12 +45,22 @@ def main():
                 {"params": params, "batch_stats": stats}))
         print(f"wrote backbone ({sum(np.asarray(x).size for x in _leaves(params)):,} params) -> {args.dst}")
     else:
-        import torch
-
-        raw = torch.load(args.src, map_location="cpu", weights_only=False)
+        raw = torch_convert.load_torch_pickle(args.src)
         sd = {k: np.asarray(v.detach().cpu().numpy())
               for k, v in raw["model_state_dict"].items()}
         bparams, bstats, head = torch_convert.convert_reference_checkpoint(sd)
+        opt_state = None
+        osd = raw.get("optimizer_state_dict") or {}
+        if osd.get("param_groups") and osd.get("state"):
+            import optax
+
+            mu, nu, count = torch_convert.convert_adamax_state(osd, list(sd))
+            # same chain the Trainer builds (train.py): clip + adamax
+            tx = optax.chain(optax.clip_by_global_norm(1.0),
+                             optax.adamax(0.002))
+            template = serialization.to_state_dict(tx.init(head))
+            opt_state = torch_convert.fill_adamax_opt_state(
+                template, mu, nu, count)
         ckpt = {
             "epoch": int(raw.get("epoch", 0)),
             "avg_scores": list(raw.get("avg_scores", [])),
@@ -61,7 +72,7 @@ def main():
             "head_params": head,
             "backbone_params": bparams,
             "backbone_stats": bstats,
-            "opt_state": None,
+            "opt_state": opt_state,
         }
         save_checkpoint(args.dst, ckpt)
         print(f"wrote checkpoint (epoch {ckpt['epoch']}) -> {args.dst}")
