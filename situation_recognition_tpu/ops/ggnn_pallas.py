@@ -72,30 +72,43 @@ from situation_recognition_tpu.ops.ggnn import GGNNParams, ggnn_propagate
 
 def _propagate_kernel(h_ref, mask_ref, wp_ref, bp_ref, wz_ref, bz_ref,
                       wr_ref, br_ref, wc_ref, bc_ref, out_ref,
-                      xnh_ref, acc_ref, z_ref, e_ref, wbuf, sem,
+                      xn_ref, xh_ref, acc_ref, z_ref, e_ref, wbuf0, wbuf1,
+                      sem,
                       *, bm: int, d: int, kt: int, r: int, steps: int,
                       bias_mult: float):
     """num_steps of GGNN for one (bm, d) block of whole examples.
 
-    xnh_ref (bm, 2d) bf16 — [agg|·] for group 1, [n|h] for z/r, [n|r*h] for c
+    xn_ref  (bm, d)  bf16 — agg for group 1, then n for the gate groups
+    xh_ref  (bm, d)  bf16 — h for z/r, r*h for c (kt divides d, so weight
+                            k-tiles never straddle the [n | h] boundary —
+                            two separate refs avoid the lane-misaligned
+                            sub-128 slices Mosaic rejects at small d)
     acc_ref (bm, d)  f32  — shared matmul accumulator
     z_ref   (bm, d)  bf16 — update gate, kept across the c-group matmul
     e_ref   (bm, bm) bf16 — block-diagonal adjacency (built once per block)
-    wbuf    (2, kt, d) bf16 — double-buffered weight k-tiles (shared by all
-                              four weight streams; every group outputs d)
+    wbuf0/1 (kt, d) bf16 — double-buffered weight k-tiles (two standalone
+                           scratches, not a stacked (2, kt, d): at small d
+                           Mosaic lane-fuses the stack and ``.at[slot]``
+                           becomes an unaligned lane slice)
     """
+    tiles_per_part = d // kt
+    wbufs = (wbuf0, wbuf1)
 
-    def stream_matmul(w_hbm, total_k):
-        """acc_ref = sum_k xnh[:, k-tile] @ w_hbm[k-tile, :] (f32 accum).
-
-        Statically unrolled (nk is compile-time): no loop/branch overhead,
-        and the first tile writes acc directly instead of zero+accumulate.
-        """
-        nk = total_k // kt
+    def stream_matmul(w_hbm, parts):
+        """acc_ref = sum over the k-tiles of concat(parts) @ w_hbm tiles
+        (f32 accum).  Statically unrolled (nk is compile-time): no
+        loop/branch overhead, and the first tile writes acc directly."""
+        nk = tiles_per_part * len(parts)
 
         def dma(slot, ki):
             return pltpu.make_async_copy(
-                w_hbm.at[pl.ds(ki * kt, kt), :], wbuf.at[slot], sem.at[slot])
+                w_hbm.at[pl.ds(ki * kt, kt), :], wbufs[slot], sem.at[slot])
+
+        def x_tile(ki):
+            ref = parts[ki // tiles_per_part]
+            if tiles_per_part == 1:
+                return ref[:]
+            return ref[:, pl.ds((ki % tiles_per_part) * kt, kt)]
 
         dma(0, 0).start()
         for ki in range(nk):
@@ -103,7 +116,7 @@ def _propagate_kernel(h_ref, mask_ref, wp_ref, bp_ref, wz_ref, bz_ref,
             if ki + 1 < nk:
                 dma((ki + 1) % 2, ki + 1).start()
             dma(slot, ki).wait()
-            tile = jnp.dot(xnh_ref[:, pl.ds(ki * kt, kt)], wbuf[slot],
+            tile = jnp.dot(x_tile(ki), wbufs[slot][:],
                            preferred_element_type=jnp.float32)
             if ki == 0:
                 acc_ref[:] = tile
@@ -127,27 +140,93 @@ def _propagate_kernel(h_ref, mask_ref, wp_ref, bp_ref, wz_ref, bz_ref,
         h = out_ref[:]                                    # (bm, d) bf16
         # adjacency contraction on the MXU
         agg = jnp.dot(e_ref[:], h, preferred_element_type=jnp.float32)
-        xnh_ref[:, :d] = agg.astype(jnp.bfloat16)
+        xn_ref[:] = agg.astype(jnp.bfloat16)
         # n = agg @ W_p + R * b_p  (per-slot bias, see ops/ggnn.py)
-        stream_matmul(wp_ref, d)
+        stream_matmul(wp_ref, (xn_ref,))
         n = acc_ref[:] + bias_mult * bp_ref[:]
-        xnh_ref[:, :d] = n.astype(jnp.bfloat16)
-        xnh_ref[:, d:] = h
+        xn_ref[:] = n.astype(jnp.bfloat16)
+        xh_ref[:] = h
         # gates stay f32: Mosaic cannot lower bf16 transcendentals
         # (vector.broadcast element-type verification failure)
         # z = sigmoid([n; h] @ [W_z; U_z] + b_z)
-        stream_matmul(wz_ref, 2 * d)
+        stream_matmul(wz_ref, (xn_ref, xh_ref))
         z_ref[:] = jax.nn.sigmoid(acc_ref[:] + bz_ref[:]).astype(jnp.bfloat16)
         # r = sigmoid([n; h] @ [W_r; U_r] + b_r)
-        stream_matmul(wr_ref, 2 * d)
+        stream_matmul(wr_ref, (xn_ref, xh_ref))
         rr = jax.nn.sigmoid(acc_ref[:] + br_ref[:])
         hf = h.astype(jnp.float32)
-        xnh_ref[:, d:] = (rr * hf).astype(jnp.bfloat16)
+        xh_ref[:] = (rr * hf).astype(jnp.bfloat16)
         # c = tanh([n; r*h] @ [W_h; U_h] + b_c)
-        stream_matmul(wc_ref, 2 * d)
+        stream_matmul(wc_ref, (xn_ref, xh_ref))
         c = jnp.tanh(acc_ref[:] + bc_ref[:])
         z = z_ref[:].astype(jnp.float32)
         out_ref[:] = ((1.0 - z) * hf + z * c).astype(out_ref.dtype)
+
+
+def _propagate_kernel_small(h_ref, mask_ref, wp, bp, wz, bz, wr, br, wc, bc,
+                            uz, ur, uh, out_ref, e_ref,
+                            *, bm: int, d: int, r: int, steps: int,
+                            bias_mult: float):
+    """Small-d variant (d <= 512): every weight is a whole VMEM block, so
+    there is no k-tile streaming and no sub-128 lane slicing (which Mosaic
+    rejects below the 128 tile).  Used by tests / tiny configs; production
+    d=2048 takes the streaming kernel."""
+    m = mask_ref[:]
+    ii = jax.lax.broadcasted_iota(jnp.int32, (bm, bm), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (bm, bm), 1)
+    same = (ii // r == jj // r).astype(jnp.float32)
+    diag = (ii == jj).astype(jnp.float32)
+    e = same * (m * m.reshape(1, bm)) + diag * (1.0 - 2.0 * m)
+    e_ref[:] = e.astype(jnp.bfloat16)
+
+    def dot(a, b):
+        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+    out_ref[:] = h_ref[:]
+    for _ in range(steps):
+        h = out_ref[:]
+        agg = dot(e_ref[:], h).astype(jnp.bfloat16)
+        n = (dot(agg, wp[:]) + bias_mult * bp[:]).astype(jnp.bfloat16)
+        z = jax.nn.sigmoid(dot(n, wz[:]) + dot(h, uz[:]) + bz[:])
+        rr = jax.nn.sigmoid(dot(n, wr[:]) + dot(h, ur[:]) + br[:])
+        hf = h.astype(jnp.float32)
+        rh = (rr * hf).astype(jnp.bfloat16)
+        c = jnp.tanh(dot(n, wc[:]) + dot(rh, uh[:]) + bc[:])
+        out_ref[:] = ((1.0 - z) * hf + z * c).astype(out_ref.dtype)
+
+
+def _propagate_small(params: GGNNParams, h, mask_rows, *, r: int,
+                     steps: int, bias_mult: float, bm: int, m_padded: int,
+                     interpret: bool):
+    m, d = h.shape
+    cast = lambda x: x.astype(jnp.bfloat16)
+    vec = lambda x: x.astype(jnp.float32)[None, :]
+    weights = [cast(params.w_p), vec(params.b_p),
+               cast(params.w_z), vec(params.b_wz + params.b_uz),
+               cast(params.w_r), vec(params.b_wr + params.b_ur),
+               cast(params.w_h), vec(params.b_wh + params.b_uh),
+               cast(params.u_z), cast(params.u_r), cast(params.u_h)]
+    kernel = functools.partial(_propagate_kernel_small, bm=bm, d=d, r=r,
+                               steps=steps, bias_mult=bias_mult)
+    wspecs = []
+    for w in weights:
+        shape = w.shape
+        wspecs.append(pl.BlockSpec(shape, lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM))
+    return pl.pallas_call(
+        kernel,
+        grid=(m_padded // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            *wspecs,
+        ],
+        out_specs=pl.BlockSpec((bm, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_padded, d), h.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bm), jnp.bfloat16)],
+        interpret=interpret,
+    )(h, mask_rows, *weights)
 
 
 def pack_weights(params: GGNNParams, dtype=jnp.bfloat16):
@@ -165,32 +244,36 @@ def pack_weights(params: GGNNParams, dtype=jnp.bfloat16):
 
 
 def _pick_bm(m: int, r: int) -> int:
-    """Largest block (multiple of lcm(r, 16), whole examples, divides m)
-    that fits the VMEM budget; preference order favours fewer blocks since
-    weight traffic scales with the block count."""
+    """Block size: multiple of lcm(r, 16) (whole examples + bf16 sublane
+    alignment), as large as the VMEM budget allows — weight traffic scales
+    with the block count.  288 is the ceiling at d=2048 (bm=384 needs
+    17.6 MB vs the 16 MB budget).  Rows are padded up to a bm multiple by
+    the wrapper; when the whole problem is smaller than one tile, the whole
+    array is the block (always a legal Pallas block shape)."""
     import math
 
     unit = (r * 16) // math.gcd(r, 16)
-    # 288 is the VMEM ceiling at d=2048: bm=384 needs 17.6 MB (in/out blocks
-    # + 2d-wide xnh + f32 acc + weight double-buffers) vs the 16 MB budget
-    for bm in (288, 192, 96, 48, 16, 8):
-        if bm % unit == 0 and m % bm == 0:
-            return bm
-    return unit if m % unit == 0 else r
+    if m <= unit or unit > 288:
+        return m
+    return (288 // unit) * unit
 
 
 def ggnn_propagate_fused(packed, h, mask_rows, *, r: int, steps: int,
                          bias_mult: float, kt: int = 256,
+                         bm: int | None = None, m_padded: int | None = None,
                          interpret: bool = False):
-    """h (M, D) bf16 rows of whole examples (M % r == 0), mask (M, 1) f32."""
+    """h (M, D) bf16 rows of whole examples, pre-padded to a bm multiple
+    (M % bm == 0); mask (M, 1) f32."""
     m, d = h.shape
-    bm = _pick_bm(m, r)
+    bm = bm if bm is not None else _pick_bm(m, r)
+    m_padded = m_padded if m_padded is not None else m
+    assert m_padded % bm == 0, (m_padded, bm)
     kernel = functools.partial(_propagate_kernel, bm=bm, d=d,
                                kt=kt if d % kt == 0 else d, r=r, steps=steps,
                                bias_mult=bias_mult)
     return pl.pallas_call(
         kernel,
-        grid=(m // bm,),
+        grid=(m_padded // bm,),
         in_specs=[
             pl.BlockSpec((bm, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bm, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -205,13 +288,15 @@ def ggnn_propagate_fused(packed, h, mask_rows, *, r: int, steps: int,
         ],
         out_specs=pl.BlockSpec((bm, d), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m, d), h.dtype),
+        out_shape=jax.ShapeDtypeStruct((m_padded, d), h.dtype),
         scratch_shapes=[
-            pltpu.VMEM((bm, 2 * d), jnp.bfloat16),   # xnh
+            pltpu.VMEM((bm, d), jnp.bfloat16),       # xn
+            pltpu.VMEM((bm, d), jnp.bfloat16),       # xh
             pltpu.VMEM((bm, d), jnp.float32),        # acc
             pltpu.VMEM((bm, d), jnp.bfloat16),       # z
             pltpu.VMEM((bm, bm), jnp.bfloat16),      # E
-            pltpu.VMEM((2, kt if d % kt == 0 else d, d), jnp.bfloat16),
+            pltpu.VMEM((kt if d % kt == 0 else d, d), jnp.bfloat16),
+            pltpu.VMEM((kt if d % kt == 0 else d, d), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
@@ -220,19 +305,38 @@ def ggnn_propagate_fused(packed, h, mask_rows, *, r: int, steps: int,
 
 def _propagate_fwd_impl(params: GGNNParams, hidden, mask, num_steps: int,
                         interpret: bool):
-    """hidden (B, R, D), mask (B, R) → (B, R, D) via the fused kernel."""
+    """hidden (B, R, D), mask (B, R) → (B, R, D) via the fused kernel.
+
+    d <= 512 (tests / tiny configs) takes the weights-resident small kernel
+    — the weight set fits VMEM and the streaming kernel's sub-128 lane
+    slices are illegal there; production d takes the streaming kernel."""
     import os
 
     b, r, d = hidden.shape
     dtype = hidden.dtype
     h = hidden.reshape(b * r, d).astype(jnp.bfloat16)
     mask_rows = mask.reshape(b * r, 1).astype(jnp.float32)
-    packed = pack_weights(params)
-    kt = int(os.environ.get("SRTPU_GGNN_KT", 256))
-    out = ggnn_propagate_fused(packed, h, mask_rows, r=r, steps=num_steps,
-                               bias_mult=float(r), kt=kt,
+    m = b * r
+    bm = _pick_bm(m, r)
+    if m % bm != 0:
+        # pad with whole dummy examples (mask 0 — evolve independently,
+        # sliced off by the callee) so every block holds complete examples
+        pad = bm - m % bm
+        h = jnp.pad(h, ((0, pad), (0, 0)))
+        mask_rows = jnp.pad(mask_rows, ((0, pad), (0, 0)))
+    m_padded = h.shape[0]
+    if d <= 512:
+        out = _propagate_small(params, h, mask_rows, r=r, steps=num_steps,
+                               bias_mult=float(r), bm=bm, m_padded=m_padded,
                                interpret=interpret)
-    return out.reshape(b, r, d).astype(dtype)
+    else:
+        packed = pack_weights(params)
+        kt = int(os.environ.get("SRTPU_GGNN_KT", 256))
+        out = ggnn_propagate_fused(packed, h, mask_rows, r=r,
+                                   steps=num_steps, bias_mult=float(r),
+                                   kt=kt, bm=bm, m_padded=m_padded,
+                                   interpret=interpret)
+    return out[:m].reshape(b, r, d).astype(dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
