@@ -58,16 +58,12 @@ def main():
     encoder.max_role_count = 6
     encoder._build_tables()
 
-    from situation_recognition_tpu.models.vit import VIT_WIDTHS
+    from situation_recognition_tpu.train import default_hidden
 
     n_dev = len(jax.devices())
     mesh = make_mesh(num_devices=n_dev)
-    if backbone in VIT_WIDTHS:
-        hidden = VIT_WIDTHS[backbone]
-    else:
-        hidden = 2048 if backbone != "mini" else 64
     cfg = TrainerConfig(
-        hidden=hidden,
+        hidden=default_hidden(backbone),
         batch_size=batch * mesh.shape["data"],
         backbone=backbone,
         compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32,

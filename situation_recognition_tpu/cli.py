@@ -255,11 +255,8 @@ def main(argv=None) -> None:
         print(f'[srtpu] batch_size rounded up to {batch} '
               f'(divisible by data axis {ndata})')
 
-    from situation_recognition_tpu.models.vit import VIT_WIDTHS
-    if args.backbone in VIT_WIDTHS:
-        hidden = VIT_WIDTHS[args.backbone]
-    else:
-        hidden = 2048 if args.backbone != 'mini' else 64
+    from situation_recognition_tpu.train import default_hidden
+    hidden = default_hidden(args.backbone)
     cfg = TrainerConfig(
         hidden=hidden, lr=args.lr, batch_size=batch, epochs=args.epochs,
         backbone=args.backbone, compute_dtype=dtype, seed=args.seed,

@@ -253,8 +253,17 @@ def _pick_bm(m: int, r: int) -> int:
     import math
 
     unit = (r * 16) // math.gcd(r, 16)
-    if m <= unit or unit > 288:
+    if m <= unit:
         return m
+    if unit > 288:
+        # one example-group per block; anything bigger blows VMEM (the E
+        # scratch is (bm, bm)).  lcm(r, 16) beyond ~1k means a pathological
+        # role count — refuse rather than let Mosaic OOM opaquely.
+        if unit > 1024:
+            raise NotImplementedError(
+                f"GGNN Pallas kernel: lcm(R={r}, 16) = {unit} rows exceed "
+                f"the VMEM block budget; use ggnn_impl='masked'")
+        return unit
     return (288 // unit) * unit
 
 

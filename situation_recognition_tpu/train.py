@@ -80,6 +80,14 @@ _RESNETS = {
 _VITS = {"vit_l14": vit_l14, "vit_b16": vit_b16, "vit_tiny": vit_tiny}
 
 
+def default_hidden(backbone: str) -> int:
+    """The head/hidden width a backbone produces (single source of truth
+    for the CLI and the bench tools)."""
+    if backbone in VIT_WIDTHS:
+        return VIT_WIDTHS[backbone]
+    return 64 if backbone == "mini" else 2048
+
+
 def build_backbone(name: str, dtype, hidden: int):
     """name → (module, has_batchnorm).  The head hidden size must equal the
     backbone feature width (ResNet: base_width*32; ViT: its width) — the
@@ -373,9 +381,16 @@ class Trainer:
         num_batches = 0
         start_batch = 0
         if mid_state is not None:
+            from situation_recognition_tpu.utils.checkpoint import history_list
+
             top1.load_state_dict(mid_state["top1"])
             top5.load_state_dict(mid_state["top5"])
-            sums = np.asarray(mid_state["loss_sums"], np.float64).copy()
+            # history_list accepts both a real list and the {'0': v0, ...}
+            # index-dict shape a msgpack round-trip produces — the consumer
+            # canonicalizes its own schema (defense in depth; the loader
+            # also canonicalizes known fields)
+            sums = np.asarray(history_list(mid_state["loss_sums"]),
+                              np.float64)
             num_batches = int(mid_state["num_batches"])
             start_batch = int(mid_state["batch_in_epoch"])
             self.step_count = int(mid_state["step_count"])

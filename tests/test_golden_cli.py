@@ -107,7 +107,10 @@ def check(name: str, stdout: str):
 
 
 # Modes run in a fixed order: train first (builds + caches the encoder and
-# the checkpoint the later modes load), mirroring real usage.
+# writes the 'sr' checkpoint).  NOTE: like the reference, evaluate/test_img/
+# subset do NOT load a checkpoint unless --resume_model is passed — those
+# goldens pin seeded-random-weight outputs; checkpoint restore is covered by
+# the resume golden below.
 
 @pytest.fixture(scope="module")
 def trained(workdir):
@@ -117,6 +120,13 @@ def trained(workdir):
 
 def test_golden_train(trained):
     check("train.txt", trained)
+
+
+def test_golden_resume(workdir, trained):
+    """Covers msgpack checkpoint restore end-to-end: epoch-1 continues from
+    the saved epoch-0 state, histories intact."""
+    check("resume.txt", run_cli(workdir, "--epochs", "2",
+                                "--resume_model", "sr"))
 
 
 def test_golden_evaluate_dev(workdir, trained):

@@ -94,24 +94,34 @@ def main():
     backbone = os.environ.get("BENCH_BACKBONE",
                               "resnet152" if on_tpu else "mini")
 
+    from situation_recognition_tpu.train import default_hidden
+
     root = tempfile.mkdtemp(prefix="srtpu_e2e_")
     img_dir, ann = make_dataset(root, n_images)
     encoder = ImsituEncoder(ann, verbose=False)
     dataset = ImsituDataset(img_dir, ann, encoder, train=True)
     dataset.enable_decode_cache()
-    loader = ImsituLoader(dataset, batch_size=batch, shuffle=True, seed=0,
-                          num_workers=int(os.environ.get("BENCH_WORKERS", 8)))
-    print(f"[e2e] decoder: {loader.decoder}", file=sys.stderr)
 
     mesh = make_mesh(num_devices=len(jax.devices()))
+    # the loader must yield GLOBAL batches (batch/chip x data axis) or every
+    # batch would be wrap-padded to the data-axis fold and all stage
+    # measurements would count different units
+    global_batch = batch * mesh.shape["data"]
+    loader = ImsituLoader(dataset, batch_size=global_batch, shuffle=True,
+                          seed=0,
+                          num_workers=int(os.environ.get("BENCH_WORKERS", 8)))
+    print(f"[e2e] decoder: {loader.decoder}, global batch {global_batch}",
+          file=sys.stderr)
+
     cfg = TrainerConfig(
-        hidden=2048 if backbone != "mini" else 64,
-        batch_size=batch * mesh.shape["data"], backbone=backbone,
+        hidden=default_hidden(backbone),
+        batch_size=global_batch, backbone=backbone,
         compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32)
     trainer = Trainer(encoder, cfg, mesh=mesh)
 
     out = {"metric": "e2e_train_pipeline", "unit": "img/s",
-           "num_images": n_images, "batch": batch}
+           "num_images": n_images, "batch": batch,
+           "global_batch": global_batch}
 
     # --- stage 1: host input pipeline, cold then warm ---------------------
     for tag, epoch in (("input_cold", 0), ("input_warm", 1)):
@@ -124,13 +134,13 @@ def main():
         print(f"[e2e] {tag}: {out[tag]} img/s", file=sys.stderr)
 
     # --- stage 2: host→device link ----------------------------------------
-    imgs = dataset.load_window(0, None)[None].repeat(batch, axis=0)
+    imgs = dataset.load_window(0, None)[None].repeat(global_batch, axis=0)
     jax.device_put(np.zeros(8, np.uint8))  # init transfer path
     t0 = time.perf_counter()
     d = jax.device_put(imgs)
     np.asarray(d[0, 0, 0])  # sync through the tunnel
     h2d_s = time.perf_counter() - t0
-    out["h2d"] = round(batch / h2d_s, 1)
+    out["h2d"] = round(global_batch / h2d_s, 1)
     out["h2d_MBps"] = round(imgs.nbytes / 1e6 / h2d_s, 1)
     print(f"[e2e] h2d: {out['h2d']} img/s ({out['h2d_MBps']} MB/s)",
           file=sys.stderr)
