@@ -132,3 +132,36 @@ def test_cli_resume_from_torch_checkpoint(tmp_path, encoder):
     assert ckpt["epoch"] == 7
     assert ckpt["avg_scores"] == [1.0, 2.0]
     assert ckpt["opt_state"] is None
+
+
+def test_corrupt_checkpoint_raises_real_error(tmp_path, encoder):
+    """A corrupt framework checkpoint must surface its msgpack error, not
+    fall through to the torch loader and die with a baffling unpickling
+    message (round-1 advisor finding: _load_resume swallowed everything)."""
+    import jax.numpy as jnp
+    import pytest
+
+    from situation_recognition_tpu.cli import _load_resume, _is_torch_checkpoint
+    from situation_recognition_tpu.train import Trainer, TrainerConfig
+
+    path = tmp_path / "corrupt"
+    path.write_bytes(b"\x85garbage-not-a-real-msgpack-checkpoint" * 3)
+    assert not _is_torch_checkpoint(str(path))
+
+    cfg = TrainerConfig(hidden=64, batch_size=8, backbone="mini",
+                        compute_dtype=jnp.float32)
+    trainer = Trainer(encoder, cfg)
+    with pytest.raises(Exception) as ei:
+        _load_resume(trainer, str(path))
+    msg = (str(ei.value) + type(ei.value).__name__).lower()
+    assert "pickle" not in msg and "torch" not in msg, ei.value
+
+
+def test_torch_magic_bytes_detected(tmp_path):
+    import torch
+
+    from situation_recognition_tpu.cli import _is_torch_checkpoint
+
+    p = tmp_path / "t.pth"
+    torch.save({"x": torch.zeros(2)}, str(p))
+    assert _is_torch_checkpoint(str(p))

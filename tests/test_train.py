@@ -205,3 +205,32 @@ def test_mid_epoch_checkpoint_resume(encoder, loaders, tmp_path):
                                          mid_state=mid)
     assert len(top1) == 5  # 2 (from snapshot) + 3 remaining
     assert all(np.isfinite(losses))
+
+
+def test_frozen_bn_eval_stats_invariant(encoder, loaders):
+    """--frozen_bn eval: a train step must not touch BN running stats and
+    must normalize with them (train-mode stats change; eval-mode must not)."""
+    import jax
+
+    train_loader, _ = loaders
+    cfg = TrainerConfig(hidden=64, batch_size=8, backbone="mini",
+                        compute_dtype=jnp.float32, lr=0.01,
+                        frozen_backbone_bn="eval")
+    tr = Trainer(encoder, cfg)
+    before = jax.device_get(tr.backbone_stats)
+    tr.train_epoch(train_loader, epoch=0)
+    after = jax.device_get(tr.backbone_stats)
+    for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(after)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # parity mode on the same data DOES update the running stats
+    cfg2 = TrainerConfig(hidden=64, batch_size=8, backbone="mini",
+                         compute_dtype=jnp.float32, lr=0.01)
+    tr2 = Trainer(encoder, cfg2)
+    before2 = jax.device_get(tr2.backbone_stats)
+    tr2.train_epoch(train_loader, epoch=0)
+    after2 = jax.device_get(tr2.backbone_stats)
+    changed = any(not np.array_equal(np.asarray(a), np.asarray(b))
+                  for a, b in zip(jax.tree.leaves(before2),
+                                  jax.tree.leaves(after2)))
+    assert changed
