@@ -94,6 +94,10 @@ def build_parser() -> ArgumentParser:
                         help='Cache decoded images in host RAM '
                              '(~200KB/image; removes JPEG decode from the '
                              'input path after the first epoch)')
+    parser.add_argument('--packed_dir', type=str, default='',
+                        help='Pre-decoded packed image store '
+                             '(tools/pack_dataset.py); removes JPEG decode '
+                             'from the input path entirely')
     return parser
 
 
@@ -223,18 +227,24 @@ def main(argv=None) -> None:
         print("Loading encoder file")
         encoder = ImsituEncoder.load(encoder_path)
 
-    train_set = ImsituDataset(args.imgset_dir, train_json, encoder, train=True)
-    if args.cache_decoded:
-        train_set.enable_decode_cache()
+    def _prepare(dataset):
+        if args.packed_dir:
+            dataset.enable_packed(args.packed_dir)
+        elif args.cache_decoded:
+            dataset.enable_decode_cache()
+        return dataset
+
+    train_set = _prepare(
+        ImsituDataset(args.imgset_dir, train_json, encoder, train=True))
     train_loader = ImsituLoader(train_set, batch_size=args.batch_size,
                                 shuffle=True, seed=args.seed,
                                 num_workers=args.num_workers)
-    dev_set = ImsituDataset(args.imgset_dir, dev_json, encoder, train=False)
-    if args.cache_decoded:
-        dev_set.enable_decode_cache()
+    dev_set = _prepare(
+        ImsituDataset(args.imgset_dir, dev_json, encoder, train=False))
     dev_loader = ImsituLoader(dev_set, batch_size=args.batch_size,
                               shuffle=False, num_workers=args.num_workers)
-    test_set = ImsituDataset(args.imgset_dir, test_json, encoder, train=False)
+    test_set = _prepare(
+        ImsituDataset(args.imgset_dir, test_json, encoder, train=False))
     test_loader = ImsituLoader(test_set, batch_size=args.batch_size,
                                shuffle=True, seed=args.seed,
                                num_workers=args.num_workers)  # ref quirk

@@ -66,7 +66,33 @@ class ImsituDataset:
         """Cache decoded uint8 images in host RAM (bench / small datasets)."""
         self._decoded_cache = {}
 
+    def enable_packed(self, packed_dir: str) -> None:
+        """Serve images from a pre-decoded packed store
+        (``tools/pack_dataset.py``: ``images.bin`` flat uint8 memmap +
+        ``index.json`` {name: [offset, h, w]}).  Removes JPEG decode from
+        the input path entirely — reads are memmap slices at page-cache /
+        NVMe speed — while keeping the exact live-path pixel values
+        (the pack pre-applies ``normalize_short_side``)."""
+        import json
+
+        with open(os.path.join(packed_dir, "index.json")) as f:
+            self._packed_index = json.load(f)
+        missing = [n for n in self.names if n not in self._packed_index]
+        if missing:
+            raise ValueError(
+                f"packed store {packed_dir} missing {len(missing)} images "
+                f"(first: {missing[:3]}); re-run tools/pack_dataset.py")
+        self._packed = np.memmap(os.path.join(packed_dir, "images.bin"),
+                                 dtype=np.uint8, mode="r")
+
+    @property
+    def packed(self) -> bool:
+        return getattr(self, "_packed", None) is not None
+
     def load_image(self, idx: int) -> np.ndarray:
+        if self.packed:
+            off, h, w = self._packed_index[self.names[idx]]
+            return self._packed[off:off + h * w * 3].reshape(h, w, 3)
         if self._decoded_cache is not None and idx in self._decoded_cache:
             return self._decoded_cache[idx]
         img = _decode_image(os.path.join(self.img_dir, self.names[idx]))
@@ -97,7 +123,9 @@ class ImsituLoader:
         self.prefetch = prefetch
         self.drop_last = drop_last
         self.epoch = 0
-        if decoder == "auto":
+        if dataset.packed:
+            decoder = "python"  # packed reads are memmap slices, no decode
+        elif decoder == "auto":
             from situation_recognition_tpu.data import native_decoder
 
             decoder = "native" if native_decoder.available() else "python"
@@ -143,11 +171,12 @@ class ImsituLoader:
                 errors.append(e)
 
         pairs = list(enumerate(indices))
-        # all-cache-hit batches are pure GIL-bound numpy slicing: worker
-        # threads only thrash the GIL there (measured 4x slowdown), so fill
-        # single-threaded when no decode work exists
+        # all-cache-hit (or packed-memmap) batches are pure GIL-bound numpy
+        # slicing: worker threads only thrash the GIL there (measured 4x
+        # slowdown), so fill single-threaded when no decode work exists
         cache = ds._decoded_cache
-        all_cached = cache is not None and all(int(i) in cache for i in indices)
+        all_cached = ds.packed or (
+            cache is not None and all(int(i) in cache for i in indices))
         if self.num_workers > 1 and B > 1 and not all_cached:
             chunks = np.array_split(np.arange(B), self.num_workers)
             threads = [

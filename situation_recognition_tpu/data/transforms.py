@@ -51,6 +51,21 @@ CROP = 224
 # ------------------------------------------------------------------- host
 
 
+def normalize_short_side(img: np.ndarray) -> np.ndarray:
+    """Resize (PIL bilinear) so the shorter side == WINDOW; identity for
+    standard ``resized_256`` images.  Shared by the live loader path and
+    ``tools/pack_dataset.py`` so packed storage is bit-identical to the
+    on-the-fly path."""
+    h, w = img.shape[:2]
+    if min(h, w) == WINDOW:
+        return img
+    from PIL import Image
+
+    scale = WINDOW / min(h, w)
+    nh, nw = max(WINDOW, round(h * scale)), max(WINDOW, round(w * scale))
+    return np.asarray(Image.fromarray(img).resize((nw, nh), Image.BILINEAR))
+
+
 def host_window(img: np.ndarray, train: bool, rng: np.random.Generator | None = None) -> np.ndarray:
     """Cut a (WINDOW, WINDOW, 3) uint8 window from a decoded HWC image.
 
@@ -61,15 +76,8 @@ def host_window(img: np.ndarray, train: bool, rng: np.random.Generator | None = 
     ``resized_256`` imSitu images this branch never fires and the window is
     pure slicing.
     """
+    img = normalize_short_side(img)
     h, w = img.shape[:2]
-    if min(h, w) != WINDOW:
-        from PIL import Image
-
-        scale = WINDOW / min(h, w)
-        nh, nw = max(WINDOW, round(h * scale)), max(WINDOW, round(w * scale))
-        img = np.asarray(
-            Image.fromarray(img).resize((nw, nh), Image.BILINEAR))
-        h, w = nh, nw
 
     if train:
         if rng is None:

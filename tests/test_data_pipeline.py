@@ -168,3 +168,49 @@ def test_loader_worker_count_invariance(img_dir, encoder, overfitting_json):
                 assert a["names"] == b["names"]
                 np.testing.assert_array_equal(a["images"], b["images"])
                 np.testing.assert_array_equal(a["flip"], b["flip"])
+
+
+def test_packed_dataset_identical_batches(img_dir, encoder, overfitting_json,
+                                          tmp_path):
+    """Packed-store batches must be bit-identical to live-decode batches
+    (same seeds → same windows/flips), for train and eval."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = tmp_path / "packed"
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "pack_dataset.py"),
+         img_dir, str(out)],
+        capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert json.loads(r.stdout)["packed"] == 5
+
+    for train in (True, False):
+        live = ImsituDataset(img_dir, overfitting_json, encoder, train=train)
+        packed = ImsituDataset(img_dir, overfitting_json, encoder,
+                               train=train)
+        packed.enable_packed(str(out))
+        assert packed.packed and not live.packed
+        l_loader = ImsituLoader(live, batch_size=3, shuffle=train, seed=4,
+                                decoder="python")
+        p_loader = ImsituLoader(packed, batch_size=3, shuffle=train, seed=4)
+        assert p_loader.decoder == "python"
+        for lb, pb in zip(l_loader, p_loader):
+            assert lb["names"] == pb["names"]
+            np.testing.assert_array_equal(lb["images"], pb["images"])
+            np.testing.assert_array_equal(lb["flip"], pb["flip"])
+            np.testing.assert_array_equal(lb["verbs"], pb["verbs"])
+
+
+def test_packed_dataset_missing_image_rejected(img_dir, encoder,
+                                               overfitting_json, tmp_path):
+    import pytest
+
+    out = tmp_path / "packed_empty"
+    out.mkdir()
+    (out / "index.json").write_text("{}")
+    (out / "images.bin").write_bytes(b"")
+    ds = ImsituDataset(img_dir, overfitting_json, encoder, train=False)
+    with pytest.raises(ValueError, match="missing"):
+        ds.enable_packed(str(out))
