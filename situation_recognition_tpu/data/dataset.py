@@ -84,6 +84,13 @@ class ImsituDataset:
                 f"(first: {missing[:3]}); re-run tools/pack_dataset.py")
         self._packed = np.memmap(os.path.join(packed_dir, "images.bin"),
                                  dtype=np.uint8, mode="r")
+        end = max((off + h * w * 3
+                   for off, h, w in self._packed_index.values()), default=0)
+        if end > self._packed.size:
+            raise ValueError(
+                f"packed store {packed_dir} is truncated/stale: index needs "
+                f"{end} bytes, images.bin has {self._packed.size}; re-run "
+                f"tools/pack_dataset.py")
 
     @property
     def packed(self) -> bool:
@@ -152,7 +159,11 @@ class ImsituLoader:
         ds = self.dataset
         B = len(indices)
         R = ds.encoder.max_role_count
-        if self.decoder == "native" and ds._decoded_cache is None:
+        # re-checked per batch (not only at construction): enable_packed may
+        # legally be called after the loader exists, and the packed path
+        # must win over the native JPEG decoder in that order too
+        if (self.decoder == "native" and ds._decoded_cache is None
+                and not ds.packed):
             return self._make_batch_native(indices)
         images = np.empty((B, 256, 256, 3), dtype=np.uint8)
         flip = np.zeros((B,), dtype=bool)

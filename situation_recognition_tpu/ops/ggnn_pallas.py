@@ -30,8 +30,8 @@ Design notes (v5e, B=1536, R=6, D=2048, 4 steps, bf16):
   reshape is needed and bm only has to be a multiple of lcm(R, 16).
 * **4-step fusion amortizes weight streaming.**  All 7 weight matrices are
   ~59 MB bf16 — too big for VMEM — so they stream per (block, step) as
-  double-buffered kt-wide k-tiles through one shared buffer.  Fewer, larger
-  row blocks (bm=384) cut total weight traffic to ~5.6 GB per propagate
+  double-buffered kt-wide k-tiles.  Fewer, larger row blocks (bm=288, the
+  VMEM ceiling at d=2048) cut total weight traffic to ~7.5 GB per propagate
   (the round-1 per-step kernel moved ~22 GB and was DMA-bound at 32 ms).
 * **One f32 accumulator.**  z/r/c are computed sequentially through a single
   (bm, d) f32 scratch instead of a (bm, 2d) zr accumulator — that VMEM saving
@@ -68,6 +68,21 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from situation_recognition_tpu.ops.ggnn import GGNNParams, ggnn_propagate
+
+
+def _block_adjacency(mask_ref, e_ref, bm: int, r: int):
+    """Write the block-diagonal imSitu adjacency into e_ref (bf16):
+    E[i,j] = same_example(i,j) * m_i * m_j for i != j, E[i,i] = 1 - m_i —
+    exactly the reference get_adj_matrix_noself tiles.  Shared by both
+    kernel variants so the semantics live in one place."""
+    m = mask_ref[:]                                       # (bm, 1) f32
+    ii = jax.lax.broadcasted_iota(jnp.int32, (bm, bm), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (bm, bm), 1)
+    same = (ii // r == jj // r).astype(jnp.float32)
+    diag = (ii == jj).astype(jnp.float32)
+    e = same * (m * m.reshape(1, bm)) + diag * (1.0 - 2.0 * m)
+    e_ref[:] = e.astype(jnp.bfloat16)
+
 
 
 def _propagate_kernel(h_ref, mask_ref, wp_ref, bp_ref, wz_ref, bz_ref,
@@ -123,16 +138,8 @@ def _propagate_kernel(h_ref, mask_ref, wp_ref, bp_ref, wz_ref, bz_ref,
             else:
                 acc_ref[:] += tile
 
-    # block-diagonal adjacency from the role mask (once per block; the mask
-    # is constant across steps):  E[i,j] = same_ex(i,j)*m_i*m_j for i!=j,
-    # E[i,i] = 1-m_i  — exactly the reference get_adj_matrix_noself tiles
-    m = mask_ref[:]                                       # (bm, 1) f32
-    ii = jax.lax.broadcasted_iota(jnp.int32, (bm, bm), 0)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (bm, bm), 1)
-    same = (ii // r == jj // r).astype(jnp.float32)
-    diag = (ii == jj).astype(jnp.float32)
-    e = same * (m * m.reshape(1, bm)) + diag * (1.0 - 2.0 * m)
-    e_ref[:] = e.astype(jnp.bfloat16)
+    # once per block; the mask is constant across steps
+    _block_adjacency(mask_ref, e_ref, bm, r)
 
     out_ref[:] = h_ref[:]
 
@@ -171,13 +178,7 @@ def _propagate_kernel_small(h_ref, mask_ref, wp, bp, wz, bz, wr, br, wc, bc,
     there is no k-tile streaming and no sub-128 lane slicing (which Mosaic
     rejects below the 128 tile).  Used by tests / tiny configs; production
     d=2048 takes the streaming kernel."""
-    m = mask_ref[:]
-    ii = jax.lax.broadcasted_iota(jnp.int32, (bm, bm), 0)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (bm, bm), 1)
-    same = (ii // r == jj // r).astype(jnp.float32)
-    diag = (ii == jj).astype(jnp.float32)
-    e = same * (m * m.reshape(1, bm)) + diag * (1.0 - 2.0 * m)
-    e_ref[:] = e.astype(jnp.bfloat16)
+    _block_adjacency(mask_ref, e_ref, bm, r)
 
     def dot(a, b):
         return jnp.dot(a, b, preferred_element_type=jnp.float32)
@@ -243,7 +244,7 @@ def pack_weights(params: GGNNParams, dtype=jnp.bfloat16):
     return wp, bp, wz, bz, wr, br, wc, bc
 
 
-def _pick_bm(m: int, r: int) -> int:
+def _pick_bm(m: int, r: int, d: int) -> int:
     """Block size: multiple of lcm(r, 16) (whole examples + bf16 sublane
     alignment), as large as the VMEM budget allows — weight traffic scales
     with the block count.  288 is the ceiling at d=2048 (bm=384 needs
@@ -255,16 +256,26 @@ def _pick_bm(m: int, r: int) -> int:
     unit = (r * 16) // math.gcd(r, 16)
     if m <= unit:
         return m
-    if unit > 288:
-        # one example-group per block; anything bigger blows VMEM (the E
-        # scratch is (bm, bm)).  lcm(r, 16) beyond ~1k means a pathological
-        # role count — refuse rather than let Mosaic OOM opaquely.
-        if unit > 1024:
+
+    def footprint(bm: int) -> int:
+        # xn+xh+z bf16 (3*2) + acc f32 (4) + double-buffered in/out blocks
+        # bf16 (2 bufs * 2 blocks * 2 bytes = 8)  => 18 bytes/elem of (bm,d)
+        # + the (bm, bm) bf16 adjacency + two (kt<=256, d) bf16 weight bufs
+        return 18 * bm * d + 2 * bm * bm + 2 * 2 * 256 * d
+
+    # measured ceiling at d=2048: bm=288 fits (12.8 MB of 16), 384 does not
+    budget = 13_500_000
+    bm = (min(288, m) // unit) * unit
+    while bm >= unit and footprint(bm) > budget:
+        bm -= unit
+    if bm < unit:
+        if footprint(unit) > budget:
             raise NotImplementedError(
-                f"GGNN Pallas kernel: lcm(R={r}, 16) = {unit} rows exceed "
-                f"the VMEM block budget; use ggnn_impl='masked'")
-        return unit
-    return (288 // unit) * unit
+                f"GGNN Pallas kernel: one example-group (lcm(R={r}, 16) = "
+                f"{unit} rows) already exceeds the VMEM block budget; use "
+                f"ggnn_impl='masked'")
+        bm = unit
+    return bm
 
 
 def ggnn_propagate_fused(packed, h, mask_rows, *, r: int, steps: int,
@@ -274,7 +285,7 @@ def ggnn_propagate_fused(packed, h, mask_rows, *, r: int, steps: int,
     """h (M, D) bf16 rows of whole examples, pre-padded to a bm multiple
     (M % bm == 0); mask (M, 1) f32."""
     m, d = h.shape
-    bm = bm if bm is not None else _pick_bm(m, r)
+    bm = bm if bm is not None else _pick_bm(m, r, d)
     m_padded = m_padded if m_padded is not None else m
     assert m_padded % bm == 0, (m_padded, bm)
     kernel = functools.partial(_propagate_kernel, bm=bm, d=d,
@@ -326,7 +337,7 @@ def _propagate_fwd_impl(params: GGNNParams, hidden, mask, num_steps: int,
     h = hidden.reshape(b * r, d).astype(jnp.bfloat16)
     mask_rows = mask.reshape(b * r, 1).astype(jnp.float32)
     m = b * r
-    bm = _pick_bm(m, r)
+    bm = _pick_bm(m, r, d)
     if m % bm != 0:
         # pad with whole dummy examples (mask 0 — evolve independently,
         # sliced off by the callee) so every block holds complete examples

@@ -47,7 +47,8 @@ def make_shardmap_train_step(trainer):
 
     from situation_recognition_tpu.data.transforms import device_transform
 
-    bb_train = trainer.config.frozen_backbone_bn != "eval"
+    # BN-only knob: non-BN backbones keep train=True (see train.py._forward)
+    bb_train = not has_bn or trainer.config.frozen_backbone_bn != "eval"
 
     def local_forward(head_params, backbone_params, backbone_stats,
                       images, flip, verbs, dropout_key):
@@ -64,7 +65,7 @@ def make_shardmap_train_step(trainer):
             new_stats = backbone_stats
         else:
             feats = backbone.apply({"params": backbone_params}, x,
-                                   train=bb_train)
+                                   train=True)
             new_stats = backbone_stats
         feats = jax.lax.stop_gradient(feats.astype(jnp.float32))
         outs = head.apply({"params": head_params}, feats, verbs,

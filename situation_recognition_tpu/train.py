@@ -200,7 +200,11 @@ class Trainer:
                  images, flip, verbs, train, dropout_key):
         x = device_transform(images, flip if train else None,
                              dtype=self.config.compute_dtype)
-        bb_train = train and self.config.frozen_backbone_bn != "eval"
+        # frozen_backbone_bn is strictly a BN-mode knob: non-BN backbones
+        # keep their true train flag so any future train-dependent backbone
+        # op (dropout, stochastic depth) is unaffected by it
+        bb_train = train and (not self._backbone_has_bn
+                              or self.config.frozen_backbone_bn != "eval")
         if not self._backbone_has_bn:
             feats = self.backbone.apply(
                 {"params": backbone_params}, x, train=bb_train)

@@ -184,10 +184,17 @@ def fill_adamax_opt_state(template_state_dict: dict, mu: dict, nu: dict,
     """Graft converted (mu, nu, count) into a ``to_state_dict`` snapshot of
     our optax chain state (clip_by_global_norm + adamax).  Searches the
     serialized tree for the node carrying {count, mu, nu} so the exact chain
-    nesting stays an optax implementation detail."""
-    import copy
+    nesting stays an optax implementation detail.
 
-    out = copy.deepcopy(template_state_dict)
+    The copy is structural only (dicts re-created, array leaves shared) —
+    a deepcopy would duplicate the template's ~320 MB of mu/nu arrays just
+    to throw them away."""
+
+    def copy_tree(t):
+        return ({k: copy_tree(v) for k, v in t.items()}
+                if isinstance(t, dict) else t)
+
+    out = copy_tree(template_state_dict)
     hits = []
 
     def visit(node):
