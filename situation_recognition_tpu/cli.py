@@ -77,9 +77,10 @@ def build_parser() -> ArgumentParser:
     parser.add_argument('--backbone_ckpt', type=str, default='',
                         help='Pretrained backbone weights (.msgpack or torch .pth)')
     parser.add_argument('--seed', type=int, default=0)
-    parser.add_argument('--ggnn', type=str, default='masked',
-                        choices=['masked', 'pallas'],
-                        help='GGNN propagation implementation')
+    parser.add_argument('--ggnn', type=str, default='auto',
+                        choices=['auto', 'masked', 'pallas'],
+                        help='GGNN propagation implementation (auto: fused '
+                             'Pallas kernel on TPU, masked-sum XLA elsewhere)')
     parser.add_argument('--frozen_bn', type=str, default='train',
                         choices=['train', 'eval'],
                         help='BN mode of the frozen backbone during train '

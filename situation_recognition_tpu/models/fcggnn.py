@@ -53,7 +53,9 @@ class GGNN(nn.Module):
     hidden: int
     num_steps: int = 4
     dtype: Any = jnp.float32
-    impl: str = "masked"   # masked (XLA, default — fastest measured) | pallas
+    impl: str = "masked"   # masked (XLA) | pallas (fused kernel, TPU default
+                           # via TrainerConfig.ggnn_impl='auto' — measured
+                           # 1.09x masked on v5e, see ops/ggnn_pallas.py)
     remat: bool = False    # jax.checkpoint per step (see ops.ggnn)
 
     def setup(self):

@@ -58,7 +58,10 @@ class TrainerConfig:
     compute_dtype: Any = jnp.bfloat16    # bf16 on TPU; tests use float32
     seed: int = 0
     model_axis: int = 1                  # >1 enables classifier TP
-    ggnn_impl: str = "masked"            # masked | pallas
+    ggnn_impl: str = "auto"              # auto | masked | pallas
+    # "auto" resolves to the fused Pallas kernel on TPU (measured 1.09x the
+    # masked-sum XLA path at the flagship shape — see ops/ggnn_pallas.py)
+    # and to masked-sum everywhere else (CPU interpret mode is slow).
     ggnn_remat: bool = False             # remat GGNN steps (memory saver)
     # BN mode of the FROZEN backbone during train steps:
     #   "train": batch-stats + running-stat updates — reference parity
@@ -86,6 +89,15 @@ def default_hidden(backbone: str) -> int:
     if backbone in VIT_WIDTHS:
         return VIT_WIDTHS[backbone]
     return 64 if backbone == "mini" else 2048
+
+
+def resolve_ggnn_impl(impl: str) -> str:
+    """'auto' → the fused Pallas kernel on TPU, masked-sum XLA elsewhere
+    (the kernel is measured faster on real hardware; on CPU it would run
+    in slow interpret mode).  Explicit choices pass through."""
+    if impl == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "masked"
+    return impl
 
 
 def build_backbone(name: str, dtype, hidden: int):
@@ -151,7 +163,7 @@ class Trainer:
             num_steps=config.num_ggnn_steps,
             dropout_rate=config.dropout_rate,
             dtype=dt,
-            ggnn_impl=config.ggnn_impl,
+            ggnn_impl=resolve_ggnn_impl(config.ggnn_impl),
             ggnn_remat=config.ggnn_remat,
         )
         self.role_ids = jnp.asarray(encoder.role_ids)

@@ -8,7 +8,7 @@ import pytest
 
 from situation_recognition_tpu.ops.ggnn import ggnn_propagate, init_ggnn_params
 from situation_recognition_tpu.ops.ggnn_pallas import (
-    ggnn_propagate_pallas, pack_weights)
+    fold_gate_weights, ggnn_propagate_pallas, kernel_supported)
 
 
 def _setup(d=256, B=16, R=6, seed=0):
@@ -37,7 +37,9 @@ def test_pallas_matches_masked(steps):
 
 
 def test_pallas_small_node_dim_padding():
-    # R=4 (fixture-sized) exercises the NODE_TILE padding path
+    # R=4 (fixture-sized): blocks are multiples of lcm(R,16)=16 rows, and
+    # B*R=32 rows smaller than the default block exercises whole-problem
+    # blocking + the dummy-example padding path
     params, h, mask = _setup(d=128, B=8, R=4, seed=1)
     want = ggnn_propagate(params, h, mask, num_steps=2)
     got = ggnn_propagate_pallas(params, h, mask, 2, True)
@@ -47,10 +49,9 @@ def test_pallas_small_node_dim_padding():
 
 
 def test_pallas_grad_matches_masked_grad():
-    """The custom VJP differentiates the masked XLA path at the saved f32
-    residuals, so under a FIXED cotangent (a linear functional — the
-    cotangent then cannot inherit the forward's bf16 rounding) the two
-    gradient paths must agree to float tolerance, not a loose bound."""
+    """Differentiated calls run XLA AD over the identical masked-sum math
+    (measured fastest — see ops/ggnn_pallas.py), so gradients must match
+    the masked path to float tolerance, not a loose bf16 bound."""
     params, h, mask = _setup(d=128, B=8, R=6, seed=2)
     ct = jnp.asarray(
         np.random.default_rng(7).standard_normal(h.shape), jnp.float32)
@@ -67,33 +68,53 @@ def test_pallas_grad_matches_masked_grad():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
 
-    def quad_pallas(p, h):
-        return jnp.sum(ggnn_propagate_pallas(p, h, mask, 2, True) ** 2)
 
-    # quadratic loss: the cotangent 2*out carries the forward's bf16
-    # rounding; bound = that rounding propagated through the linear VJP
-    gq = jax.grad(quad_pallas, argnums=(0, 1))(params, h)
-    gr = jax.grad(lambda p, h: jnp.sum(
-        ggnn_propagate(p, h, mask, num_steps=2) ** 2), argnums=(0, 1))(params, h)
-    for a, b in zip(jax.tree.leaves(gq), jax.tree.leaves(gr)):
-        a, b = np.asarray(a), np.asarray(b)
-        scale = max(np.abs(b).max(), 1.0)
-        assert np.abs(a - b).max() / scale < 0.02, np.abs(a - b).max()
+def test_grad_with_mixed_param_hidden_dtypes():
+    """f32 params + bf16 hidden: the masked recompute in the backward
+    promotes its primal to f32 while the kernel forward stays bf16; the
+    custom VJP must align the cotangent dtype instead of raising."""
+    params, h, mask = _setup(d=128, B=4, R=6, seed=9)
+    hb = h.astype(jnp.bfloat16)
+    g = jax.grad(lambda p, x: jnp.sum(
+        ggnn_propagate_pallas(p, x, mask, 2, True) ** 2).astype(jnp.float32),
+        argnums=(0, 1))(params, hb)
+    for leaf in jax.tree.leaves(g):
+        assert np.all(np.isfinite(np.asarray(leaf, np.float32)))
+    assert g[1].dtype == jnp.bfloat16
 
 
-def test_pack_weights_shapes():
-    params = init_ggnn_params(jax.random.PRNGKey(0), 128)
-    wp, bp, wz, bz, wr, br, wc, bc = pack_weights(params)
-    assert wp.shape == (128, 128)
-    assert wz.shape == (256, 128) and wr.shape == (256, 128)
-    assert wc.shape == (256, 128)
-    assert bz.shape == (1, 128)
-    # bias packing: combined W+U biases; [W; U] stacking along k
-    np.testing.assert_allclose(
-        np.asarray(bz[0]), np.asarray(params.b_wz + params.b_uz), rtol=1e-6)
-    import jax.numpy as jnp
+def test_fold_gate_weights_algebra():
+    """The W_p fold is exact algebra: for any n-input x,
+    x @ W_p @ W_g + R*(b_p @ W_g) must equal ((x @ W_p + R*b_p)) @ W_g.
+    Checked in f32 against the unfolded two-stage computation."""
+    d, r = 128, 6
+    params = init_ggnn_params(jax.random.PRNGKey(0), d)
+    wa, uzr, uh, ba = fold_gate_weights(params, float(r), jnp.float32)
+    assert wa.shape == (d, 3 * d) and uzr.shape == (d, 2 * d)
+    assert uh.shape == (d, d) and ba.shape == (1, 3 * d)
+    x = jnp.asarray(
+        np.random.default_rng(3).standard_normal((5, d)), jnp.float32)
+    n = x @ params.w_p + r * params.b_p
+    for i, (w, bw, bu) in enumerate([
+            (params.w_z, params.b_wz, params.b_uz),
+            (params.w_r, params.b_wr, params.b_ur),
+            (params.w_h, params.b_wh, params.b_uh)]):
+        want = n @ w + bw + bu
+        got = x @ wa[:, i * d:(i + 1) * d] + ba[0, i * d:(i + 1) * d]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(uzr[:, :d]),
+                                  np.asarray(params.u_z))
+    np.testing.assert_array_equal(np.asarray(uzr[:, d:]),
+                                  np.asarray(params.u_r))
 
-    np.testing.assert_array_equal(
-        np.asarray(wc[:128]), np.asarray(params.w_h.astype(jnp.bfloat16)))
-    np.testing.assert_array_equal(
-        np.asarray(wc[128:]), np.asarray(params.u_h.astype(jnp.bfloat16)))
+
+def test_unsupported_width_falls_back_to_masked():
+    """d not tileable by the kernel (d % 128 != 0) must produce the exact
+    masked-sum result — the wrapper routes to ggnn_propagate, bit-for-bit."""
+    assert not kernel_supported(192)
+    assert kernel_supported(2048) and kernel_supported(1024)
+    params, h, mask = _setup(d=192, B=4, R=6, seed=5)
+    want = ggnn_propagate(params, h, mask, num_steps=2)
+    got = ggnn_propagate_pallas(params, h, mask, 2, True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
