@@ -83,7 +83,10 @@ class GGNN(nn.Module):
 
     def propagate(self, hidden, mask):
         hidden = hidden.astype(self.dtype)
-        if self.impl == "pallas":
+        # remat trades recompute for activation memory in the BACKWARD, which
+        # the pallas custom VJP routes through plain (non-remat) XLA AD — so
+        # a remat request takes the masked path, where it is honored
+        if self.impl == "pallas" and not self.remat:
             return self._pallas(hidden, mask)
         return ggnn_propagate(self._p, hidden, mask, self.num_steps,
                               remat=self.remat)

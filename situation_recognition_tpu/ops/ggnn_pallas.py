@@ -50,7 +50,8 @@ Measured on v5e at the flagship shape (B=1536, R=6, D=2048, 4 steps, bf16,
     XLA running the same folded math         13.1 ms
     round-2 streaming kernel                 15.0 ms
     resident, unfolded                       13.8 ms
-    **this kernel (resident + folded, bm=576)  12.3 ms  — 1.09× XLA**
+    **this kernel (resident + folded, bm=576)  12.0–12.3 ms — 1.09–1.12× XLA
+                                               across runs**
 
 so ``ggnn_impl='pallas'`` is now the TPU default (resolved from ``'auto'``).
 Numerics: fold products are exact in real arithmetic; in bf16 the kernel
@@ -60,8 +61,9 @@ class as the unfolded kernel's 0.016 — bf16 resolution, not drift).
 Shape support: the fat matmul outputs are lane-sliced at multiples of ``d``,
 which Mosaic only allows when ``d % 128 == 0`` — true for every backbone
 this framework ships (2048 / 1024 / 768).  Other widths, and widths whose
-weight set cannot fit the VMEM budget (d > ~2300), fall back to the
-mathematically identical masked-sum XLA implementation.
+weight set plus one minimum block cannot fit the VMEM budget (d ≳ 3100 at
+R=6 — see ``kernel_supported``), fall back to the mathematically identical
+masked-sum XLA implementation.
 
 **Where the kernel runs — forward-only contexts, by measurement.**  The
 wrapper ``ggnn_propagate_pallas`` is a drop-in replacement for
@@ -182,12 +184,30 @@ def _weight_bytes(d: int) -> int:
     return 6 * d * d * 2 + 3 * d * 4
 
 
-def kernel_supported(d: int) -> bool:
-    """True when the fused kernel can run d on real TPU hardware: fat-output
-    lane slices need d % 128 == 0, and the folded weights plus at least one
-    example-group block must fit the VMEM budget."""
+def _block_footprint(bm: int, d: int) -> int:
+    """VMEM bytes one (bm, d) grid block needs beyond the resident weights
+    (double-buffered in/out + f32 gate temporaries + the (bm, bm) adjacency).
+    Single source of truth for kernel_supported and _pick_bm — they MUST
+    agree, or a width could pass the support check yet have no block size
+    that fits the budget."""
+    return _BLOCK_BYTES_PER_ELEM * bm * d + 2 * bm * bm
+
+
+def _min_block(r: int) -> int:
+    """The smallest legal block: whole examples (r rows each) aligned to the
+    16-row bf16 sublane tile."""
+    return (r * 16) // math.gcd(r, 16)
+
+
+def kernel_supported(d: int, r: int = 6) -> bool:
+    """True when the fused kernel can run (d, r) on real TPU hardware:
+    fat-output lane slices need d % 128 == 0, and the folded weights plus
+    at least one minimum-size example-group block must fit the VMEM budget
+    (the same footprint model _pick_bm uses, so a supported width always
+    has a feasible block size)."""
     return (d % 128 == 0 and
-            _weight_bytes(d) + _BLOCK_BYTES_PER_ELEM * 16 * d < _VMEM_LIMIT)
+            _weight_bytes(d) + _block_footprint(_min_block(r), d)
+            <= _VMEM_LIMIT)
 
 
 def _pick_bm(m: int, r: int, d: int) -> int:
@@ -196,16 +216,12 @@ def _pick_bm(m: int, r: int, d: int) -> int:
     measured sweet spot 576 (576 ≥ 288 ≈ 1152 on v5e at d=2048; larger
     blocks stop helping once weight traffic is gone).  When the whole
     problem is smaller than one tile, the whole array is the block."""
-    unit = (r * 16) // math.gcd(r, 16)
+    unit = _min_block(r)
     if m <= unit:
         return m
     budget = _VMEM_LIMIT - _weight_bytes(d)
-
-    def footprint(bm: int) -> int:
-        return _BLOCK_BYTES_PER_ELEM * bm * d + 2 * bm * bm
-
     bm = (min(576, m) // unit) * unit
-    while bm > unit and footprint(bm) > budget:
+    while bm > unit and _block_footprint(bm, d) > budget:
         bm -= unit
     return bm
 
@@ -267,12 +283,12 @@ def ggnn_propagate_pallas(params: GGNNParams, hidden, mask,
 
     Undifferentiated calls — eval, inference/serving, and the gt noun
     branch whose loss is logged but never backpropagated — run the fused
-    kernel (the measured 1.12x win).  Differentiated calls run XLA AD over
+    kernel (the measured 1.09–1.12x win).  Differentiated calls run XLA AD over
     the identical masked-sum formulation, which the module docstring's
     measurements show beats both a recompute-based and a residual-saving
     custom backward on this op.
     """
-    if not kernel_supported(hidden.shape[-1]):
+    if not kernel_supported(hidden.shape[-1], hidden.shape[1]):
         return ggnn_propagate(params, hidden, mask,
                               num_steps).astype(hidden.dtype)
     return _propagate_fwd_impl(params, hidden, mask, num_steps, interpret)

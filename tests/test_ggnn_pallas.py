@@ -39,13 +39,30 @@ def test_pallas_matches_masked(steps):
 def test_pallas_small_node_dim_padding():
     # R=4 (fixture-sized): blocks are multiples of lcm(R,16)=16 rows, and
     # B*R=32 rows smaller than the default block exercises whole-problem
-    # blocking + the dummy-example padding path
+    # blocking
     params, h, mask = _setup(d=128, B=8, R=4, seed=1)
     want = ggnn_propagate(params, h, mask, num_steps=2)
     got = ggnn_propagate_pallas(params, h, mask, 2, True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=0.1, atol=0.1)
     assert got.shape == h.shape
+
+
+def test_pallas_dummy_example_padding_branch():
+    """B=9, R=6 → m=54 rows, block unit lcm(6,16)=48 → bm=48, pad=42 dummy
+    rows: the only shape class that actually executes the pad branch in
+    _propagate_fwd_impl (every other test's m divides its bm exactly).
+    Dummy rows have mask 0 and must not perturb real examples."""
+    params, h, mask = _setup(d=128, B=9, R=6, seed=6)
+    want = ggnn_propagate(params, h, mask, num_steps=3)
+    got = ggnn_propagate_pallas(params, h, mask, 3, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0.1, atol=0.1)
+    # same values as the unpadded-divisible case: re-run with B=8 (m=48)
+    # on the shared prefix and compare example-for-example
+    got8 = ggnn_propagate_pallas(params, h[:8], mask[:8], 3, True)
+    np.testing.assert_allclose(np.asarray(got[:8]), np.asarray(got8),
+                               rtol=1e-5, atol=1e-6)
 
 
 def test_pallas_grad_matches_masked_grad():
@@ -114,6 +131,27 @@ def test_unsupported_width_falls_back_to_masked():
     masked-sum result — the wrapper routes to ggnn_propagate, bit-for-bit."""
     assert not kernel_supported(192)
     assert kernel_supported(2048) and kernel_supported(1024)
+    # guard consistency: a width whose weights pass but whose weights + one
+    # minimum block exceed the VMEM budget must be rejected here, NOT die
+    # in Mosaic compilation (d=3200 is 128-aligned; 12d^2 = 122.9 MB alone)
+    assert not kernel_supported(3200)
+
+
+def test_remat_request_routes_to_masked_path():
+    """GGNN(impl='pallas', remat=True) must honor remat: the pallas custom
+    VJP cannot remat (its backward is plain XLA AD), so propagate takes the
+    masked path — outputs must equal masked-with-remat bit-for-bit."""
+    from situation_recognition_tpu.models.fcggnn import GGNN
+
+    params, h, mask = _setup(d=128, B=4, R=6, seed=8)
+    mod_remat = GGNN(hidden=128, num_steps=2, impl="pallas", remat=True)
+    v = mod_remat.init(jax.random.PRNGKey(0), h, mask,
+                       method=GGNN.propagate)
+    out_remat = mod_remat.apply(v, h, mask, method=GGNN.propagate)
+    mod_masked = GGNN(hidden=128, num_steps=2, impl="masked")
+    out_masked = mod_masked.apply(v, h, mask, method=GGNN.propagate)
+    np.testing.assert_array_equal(np.asarray(out_remat),
+                                  np.asarray(out_masked))
     params, h, mask = _setup(d=192, B=4, R=6, seed=5)
     want = ggnn_propagate(params, h, mask, num_steps=2)
     got = ggnn_propagate_pallas(params, h, mask, 2, True)

@@ -88,12 +88,17 @@ def test_pallas_ggnn_matches_masked_under_dp_mesh(encoder):
     mesh: same batch, same seed, losses match the masked XLA path up to the
     kernel's internal bf16 rounding.  A mispartitioned kernel (scrambled
     example grouping in the per-example masked sum) diverges far beyond
-    that."""
+    that.  hidden=128, NOT the usual 64: kernel_supported requires
+    d % 128 == 0, and at 64 the pallas trainer would silently fall back to
+    masked, making this test compare masked against itself."""
+    from situation_recognition_tpu.ops.ggnn_pallas import kernel_supported
+
+    assert kernel_supported(128, encoder.max_role_count)
     batch = _batch(encoder, 16, seed=4)
     losses = {}
     for impl in ("masked", "pallas"):
         mesh = make_mesh()
-        cfg = TrainerConfig(hidden=64, batch_size=16, backbone="mini",
+        cfg = TrainerConfig(hidden=128, batch_size=16, backbone="mini",
                             compute_dtype=jnp.float32, seed=5,
                             ggnn_impl=impl)
         tr = Trainer(encoder, cfg, mesh=mesh)
