@@ -83,15 +83,28 @@ def main():
     arrays = {k: jax.device_put(v, trainer._bsh) for k, v in arrays.items()}
     valid = jax.device_put(valid, trainer._bsh)
 
-    def step(i):
-        key = jax.random.fold_in(jax.random.PRNGKey(0), i)
-        out = trainer._train_step(
-            trainer.head_params, trainer.opt_state, trainer.backbone_params,
-            trainer.backbone_stats, key, arrays["images"], arrays["flip"],
-            arrays["verbs"], arrays["labels"], valid)
-        (trainer.head_params, trainer.opt_state, trainer.backbone_stats,
-         losses, topk) = out
-        return losses
+    # BENCH_MODE=eval times the fwd-only eval step (the fused pallas GGNN
+    # runs on every propagate there); default times the full train step
+    mode = os.environ.get("BENCH_MODE", "train")
+
+    if mode == "eval":
+        def step(i):
+            losses, topk = trainer._eval_step(
+                trainer.head_params, trainer.backbone_params,
+                trainer.backbone_stats, arrays["images"], arrays["verbs"],
+                arrays["labels"], valid)
+            return losses
+    else:
+        def step(i):
+            key = jax.random.fold_in(jax.random.PRNGKey(0), i)
+            out = trainer._train_step(
+                trainer.head_params, trainer.opt_state,
+                trainer.backbone_params, trainer.backbone_stats, key,
+                arrays["images"], arrays["flip"],
+                arrays["verbs"], arrays["labels"], valid)
+            (trainer.head_params, trainer.opt_state, trainer.backbone_stats,
+             losses, topk) = out
+            return losses
 
     # warmup/compile; synchronize via host transfer (block_until_ready does
     # not reliably wait through the remote TPU tunnel)
@@ -121,11 +134,18 @@ def main():
     gen = os.environ.get("PALLAS_AXON_TPU_GEN", "v5e" if on_tpu else "")
     mfu = hbm_util = None
     try:
-        cost = trainer._train_step.lower(
-            trainer.head_params, trainer.opt_state, trainer.backbone_params,
-            trainer.backbone_stats, jax.random.PRNGKey(0), arrays["images"],
-            arrays["flip"], arrays["verbs"], arrays["labels"], valid
-        ).compile().cost_analysis()
+        if mode == "eval":
+            lowered = trainer._eval_step.lower(
+                trainer.head_params, trainer.backbone_params,
+                trainer.backbone_stats, arrays["images"], arrays["verbs"],
+                arrays["labels"], valid)
+        else:
+            lowered = trainer._train_step.lower(
+                trainer.head_params, trainer.opt_state,
+                trainer.backbone_params, trainer.backbone_stats,
+                jax.random.PRNGKey(0), arrays["images"],
+                arrays["flip"], arrays["verbs"], arrays["labels"], valid)
+        cost = lowered.compile().cost_analysis()
         if gen in peaks and cost and cost.get("flops"):
             peak_f, peak_b = peaks[gen]
             mfu = float(cost["flops"]) / n_dev / (step_ms / 1e3) / peak_f
@@ -142,7 +162,7 @@ def main():
               file=sys.stderr)
 
     out = {
-        "metric": "train_images_per_sec_per_chip",
+        "metric": f"{mode}_images_per_sec_per_chip",
         "value": round(img_per_sec_per_chip, 2),
         "unit": "img/s/chip",
         "vs_baseline": round(img_per_sec_per_chip
