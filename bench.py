@@ -67,6 +67,7 @@ def main():
         batch_size=batch * mesh.shape["data"],
         backbone=backbone,
         compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+        frozen_backbone_bn=os.environ.get("BENCH_FROZEN_BN", "train"),
     )
     trainer = Trainer(encoder, cfg, mesh=mesh)
 
