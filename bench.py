@@ -43,6 +43,15 @@ def main():
     steps = int(os.environ.get("BENCH_STEPS", 20 if on_tpu else 3))
     backbone = os.environ.get("BENCH_BACKBONE",
                               "resnet152" if on_tpu else "mini")
+    # BENCH_MODE=eval times the fwd-only eval step (the fused pallas GGNN
+    # runs on every propagate there); default times the full train step
+    mode = os.environ.get("BENCH_MODE", "train")
+    if mode not in ("train", "eval"):
+        raise SystemExit(f"BENCH_MODE must be train|eval, got {mode!r}")
+    frozen_bn = os.environ.get("BENCH_FROZEN_BN", "train")
+    if frozen_bn not in ("train", "eval"):
+        raise SystemExit(
+            f"BENCH_FROZEN_BN must be train|eval, got {frozen_bn!r}")
 
     # full-size synthetic vocab: 504 verbs / 190 roles / 2001 labels / R=6
     # (the tiny fixture would understate the classifier + GGNN width)
@@ -67,7 +76,7 @@ def main():
         batch_size=batch * mesh.shape["data"],
         backbone=backbone,
         compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
-        frozen_backbone_bn=os.environ.get("BENCH_FROZEN_BN", "train"),
+        frozen_backbone_bn=frozen_bn,
     )
     trainer = Trainer(encoder, cfg, mesh=mesh)
 
@@ -83,10 +92,6 @@ def main():
     arrays, valid, _ = trainer._pad_batch(batch_host)
     arrays = {k: jax.device_put(v, trainer._bsh) for k, v in arrays.items()}
     valid = jax.device_put(valid, trainer._bsh)
-
-    # BENCH_MODE=eval times the fwd-only eval step (the fused pallas GGNN
-    # runs on every propagate there); default times the full train step
-    mode = os.environ.get("BENCH_MODE", "train")
 
     if mode == "eval":
         def step(i):
@@ -166,9 +171,14 @@ def main():
         "metric": f"{mode}_images_per_sec_per_chip",
         "value": round(img_per_sec_per_chip, 2),
         "unit": "img/s/chip",
-        "vs_baseline": round(img_per_sec_per_chip
-                             / REFERENCE_IMG_PER_SEC_PER_CHIP, 2),
     }
+    if mode == "train":
+        # the baseline estimate is a TRAIN-step rate; a fwd-only eval rate
+        # against it would be apples-to-oranges
+        out["vs_baseline"] = round(img_per_sec_per_chip
+                                   / REFERENCE_IMG_PER_SEC_PER_CHIP, 2)
+    if frozen_bn != "train":
+        out["frozen_bn"] = frozen_bn
     if mfu is not None:
         out["mfu"] = round(mfu, 4)
     if hbm_util is not None:

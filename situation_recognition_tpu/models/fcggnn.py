@@ -93,7 +93,9 @@ class GGNN(nn.Module):
 
     def propagate_verb(self, hidden):
         hidden = hidden.astype(self.dtype)
-        if self.impl == "pallas":
+        # same remat routing as propagate(): the pallas custom VJP cannot
+        # honor a remat request (its backward is plain XLA AD)
+        if self.impl == "pallas" and not self.remat:
             # single-node graphs: mask 0 makes every node self-message (n=p),
             # exactly the reference verb branch (model.py:62-64)
             out = self._pallas(hidden[:, None, :],
@@ -169,22 +171,39 @@ class FCGGNNHead(nn.Module):
         logits = self.nouns_classifier(out).astype(jnp.float32)
         return logits.reshape(B, R, self.num_labels)
 
-    def __call__(self, features, gt_verb, role_ids, role_mask,
-                 train: bool = False):
-        """Full training forward → (pred_verb, pred_nouns, gt_pred_nouns).
+    def predict_train(self, features, role_ids, role_mask,
+                      train: bool = False):
+        """The DIFFERENTIATED branches only: verb + argmax-verb nouns.
 
-        The two noun branches are separate calls on purpose: the gt branch
-        feeds only the LOGGED gt loss (excluded from backprop, sr.py:76), so
-        when it is its own call JAX's AD prunes its entire backward — a
-        stacked 2B batch (round 1's design) forced GGNN + classifier
-        backward matmuls over the gt half with an all-zero cotangent,
-        ~13 ms/step of dead FLOPs at the flagship shape.  Forward equality
-        of stacked vs separate calls is asserted in tests/test_fcggnn.py.
+        The training step differentiates exactly these two (loss = verb +
+        pred-nouns, sr.py:76) and runs the gt noun branch outside the grad
+        closure: under ``jax.grad`` a ``custom_vjp``'s fwd rule replaces the
+        primal for EVERY call in the closure — including aux-only ones — so
+        keeping the gt branch inside would silently route its fused-kernel
+        propagate to the masked path AND rely on AD pruning to drop its
+        backward (a stacked 2B batch, round 1's design, paid ~13 ms/step of
+        dead backward FLOPs for it).  Hoisting makes both properties
+        structural: the gt branch truly runs the fused kernel, and its
+        backward does not exist to prune.
         """
         pred_verb = self.predict_verb(features, train=train)
         pred_verb_ids = jnp.argmax(pred_verb, axis=1)
         pred_nouns = self.predict_nouns(
             features, pred_verb_ids, role_ids, role_mask, train=train)
+        return pred_verb, pred_nouns
+
+    def __call__(self, features, gt_verb, role_ids, role_mask,
+                 train: bool = False):
+        """Full forward → (pred_verb, pred_nouns, gt_pred_nouns).
+
+        Dropout-stream note: delegating keeps the in-call dropout ORDER
+        (verb_dropout, nouns_dropout, nouns_dropout) identical to a single
+        inlined body, so eval/inference streams are unchanged by the
+        predict_train split.  Forward equality of stacked vs separate noun
+        calls is asserted in tests/test_fcggnn.py.
+        """
+        pred_verb, pred_nouns = self.predict_train(
+            features, role_ids, role_mask, train=train)
         gt_pred_nouns = self.predict_nouns(
             features, gt_verb, role_ids, role_mask, train=train)
         return pred_verb, pred_nouns, gt_pred_nouns

@@ -69,9 +69,9 @@ masked-sum XLA implementation.
 wrapper ``ggnn_propagate_pallas`` is a drop-in replacement for
 ``ops.ggnn.ggnn_propagate`` with a ``jax.custom_vjp``.  Undifferentiated
 calls — eval, inference/serving, and the gt noun branch whose loss is
-logged but never backpropagated (/root/reference/sr.py:76), i.e. 2 of the
-3 propagates in every train step plus everything outside training — run
-the fused kernel.  Differentiated calls run XLA AD on the identical
+logged but never backpropagated (/root/reference/sr.py:76; 1 of the 3
+propagates per train step, hoisted outside the grad closure in train.py) —
+plus everything outside training, run the fused kernel.  Differentiated calls run XLA AD on the identical
 masked-sum math, because every custom backward LOST to it when measured
 (fwd+bwd at the grad branch's shape, B=768):
 
@@ -90,6 +90,18 @@ chain into its GEMM epilogues while a jnp-level reverse pass materializes
 each elementwise intermediate (measured fusion/bandwidth overhead ~4 ms).
 Conclusion, documented rather than hidden: on TPU the fused kernel is a
 forward-path win; the backward belongs to the compiler.
+
+Two semantic consequences of this routing:
+
+* Under ``jax.grad``, the fwd rule replaces the primal for EVERY call
+  inside the differentiated closure — even ones whose output never reaches
+  the loss (aux).  A forward-only branch must therefore live OUTSIDE the
+  grad closure to actually run the kernel; the train step hoists the gt
+  noun branch out for exactly this reason (train.py).
+* The differentiated forward's values are the masked path's bf16 numerics,
+  while undifferentiated calls carry the kernel's (max |diff| ≈ 0.023 over
+  4 steps) — so a loss computed under ``value_and_grad`` and the same loss
+  recomputed forward-only agree only to bf16 rounding, not bit-exactly.
 """
 
 from __future__ import annotations
@@ -214,16 +226,28 @@ def _pick_bm(m: int, r: int, d: int) -> int:
     """Block size: multiple of lcm(r, 16) (whole examples per block + bf16
     sublane alignment), as large as the VMEM budget allows, capped at the
     measured sweet spot 576 (576 ≥ 288 ≈ 1152 on v5e at d=2048; larger
-    blocks stop helping once weight traffic is gone).  When the whole
-    problem is smaller than one tile, the whole array is the block."""
+    blocks stop helping once weight traffic is gone).  Among fitting sizes,
+    prefer the largest that DIVIDES m — padding is pure wasted FLOPs (the
+    verb branch at eval batch 768, r=1, would otherwise pad 768→1152 rows,
+    +50%).  When the whole problem is smaller than one tile, the whole
+    array is the block."""
     unit = _min_block(r)
     if m <= unit:
         return m
     budget = _VMEM_LIMIT - _weight_bytes(d)
-    bm = (min(576, m) // unit) * unit
-    while bm > unit and _block_footprint(bm, d) > budget:
-        bm -= unit
-    return bm
+    cap = (min(576, m) // unit) * unit
+    while cap > unit and _block_footprint(cap, d) > budget:
+        cap -= unit
+    # among [cap/2, cap] (blocks below half-cap trade MXU efficiency for
+    # nothing), minimize the padded row total; descending iteration with a
+    # strict < makes ties prefer the larger block
+    lo = max(unit, (cap // 2 // unit) * unit)
+    best, best_total = cap, ((m + cap - 1) // cap) * cap
+    for bm in range(cap - unit, lo - 1, -unit):
+        total = ((m + bm - 1) // bm) * bm
+        if total < best_total:
+            best, best_total = bm, total
+    return best
 
 
 def ggnn_propagate_fused(params: GGNNParams, h, mask_rows, *, r: int,

@@ -208,8 +208,14 @@ class Trainer:
 
     # ------------------------------------------------------------- stepping
 
-    def _forward(self, head_params, backbone_params, backbone_stats,
-                 images, flip, verbs, train, dropout_key):
+    def _features(self, backbone_params, backbone_stats, images, flip,
+                  train):
+        """Device transform + frozen backbone → (feats f32, new BN stats).
+
+        Runs OUTSIDE any grad closure in the train step: the backbone is
+        frozen (features stop-gradiented) and the BN-stat update needs no
+        gradient, so hoisting costs nothing and lets the forward-only head
+        branches (gt nouns) keep their fused-kernel primal."""
         x = device_transform(images, flip if train else None,
                              dtype=self.config.compute_dtype)
         # frozen_backbone_bn is strictly a BN-mode knob: non-BN backbones
@@ -232,6 +238,12 @@ class Trainer:
                 x, train=False)
             new_stats = backbone_stats
         feats = jax.lax.stop_gradient(feats.astype(jnp.float32))
+        return feats, new_stats
+
+    def _forward(self, head_params, backbone_params, backbone_stats,
+                 images, flip, verbs, train, dropout_key):
+        feats, new_stats = self._features(
+            backbone_params, backbone_stats, images, flip, train)
         outs = self.head.apply(
             {"params": head_params}, feats, verbs,
             self.role_ids, self.role_mask, train=train,
@@ -268,20 +280,41 @@ class Trainer:
     def _build_steps(self):
         tx = self.tx
 
+        L = self.encoder.get_num_labels()
+
         def train_step(head_params, opt_state, backbone_params,
                        backbone_stats, dropout_key, images, flip, verbs,
                        labels, valid):
-            def loss_fn(hp):
-                outs, new_stats = self._forward(
-                    hp, backbone_params, backbone_stats, images, flip,
-                    verbs, True, dropout_key)
-                vloss, nloss, gloss = self._losses(outs, verbs, labels, valid)
-                return vloss + nloss, (outs, new_stats, vloss, nloss, gloss)
+            # frozen backbone + BN-stat update hoisted out of the grad
+            # closure (nothing in it needs a gradient)
+            feats, new_stats = self._features(
+                backbone_params, backbone_stats, images, flip, True)
 
-            grads, (outs, new_stats, vloss, nloss, gloss) = jax.grad(
+            def loss_fn(hp):
+                pred_verb, pred_nouns = self.head.apply(
+                    {"params": hp}, feats, self.role_ids, self.role_mask,
+                    train=True, rngs={"dropout": dropout_key},
+                    method=self.head.predict_train)
+                vloss = _masked_verb_loss(pred_verb, verbs, valid)
+                nloss = _masked_nouns_loss(pred_nouns, labels, L, valid)
+                # backprop loss = verb + pred-nouns only (sr.py:76)
+                return vloss + nloss, (pred_verb, pred_nouns, vloss, nloss)
+
+            grads, (pred_verb, pred_nouns, vloss, nloss) = jax.grad(
                 loss_fn, has_aux=True)(head_params)
+            # gt noun branch OUTSIDE the grad closure: its loss is logged,
+            # never backpropagated (sr.py:76) — structurally no backward,
+            # and (being undifferentiated) it runs the fused GGNN kernel
+            # instead of the custom_vjp's masked fwd rule
+            gt_pred_nouns = self.head.apply(
+                {"params": head_params}, feats, verbs,
+                self.role_ids, self.role_mask, train=True,
+                rngs={"dropout": jax.random.fold_in(dropout_key, 1)},
+                method=self.head.predict_nouns)
+            gloss = _masked_nouns_loss(gt_pred_nouns, labels, L, valid)
             updates, opt_state = tx.update(grads, opt_state, head_params)
             head_params = optax.apply_updates(head_params, updates)
+            outs = (pred_verb, pred_nouns, gt_pred_nouns)
             return (head_params, opt_state, new_stats,
                     (vloss, nloss, gloss), self._topk(outs))
 

@@ -88,9 +88,12 @@ def test_pallas_ggnn_matches_masked_under_dp_mesh(encoder):
     mesh: same batch, same seed, losses match the masked XLA path up to the
     kernel's internal bf16 rounding.  A mispartitioned kernel (scrambled
     example grouping in the per-example masked sum) diverges far beyond
-    that.  hidden=128, NOT the usual 64: kernel_supported requires
-    d % 128 == 0, and at 64 the pallas trainer would silently fall back to
-    masked, making this test compare masked against itself."""
+    that.  Two traps this test must avoid: hidden=128, NOT 64
+    (kernel_supported requires d % 128 == 0 — at 64 the pallas trainer
+    silently falls back to masked), and the EVAL step, not the train step
+    (inside jax.grad the custom_vjp fwd rule routes every propagate to the
+    masked path, so a train-step comparison would be masked vs masked;
+    only undifferentiated calls lower the pallas_call)."""
     from situation_recognition_tpu.ops.ggnn_pallas import kernel_supported
 
     assert kernel_supported(128, encoder.max_role_count)
@@ -103,11 +106,14 @@ def test_pallas_ggnn_matches_masked_under_dp_mesh(encoder):
                             ggnn_impl=impl)
         tr = Trainer(encoder, cfg, mesh=mesh)
         arrays, valid, _ = tr._pad_batch(batch)
-        out = tr._train_step(tr.head_params, tr.opt_state,
-                             tr.backbone_params, tr.backbone_stats,
-                             jax.random.PRNGKey(0), arrays["images"],
-                             arrays["flip"], arrays["verbs"],
-                             arrays["labels"], valid)
-        losses[impl] = [float(x) for x in out[3]]
+        out = tr._eval_step(tr.head_params, tr.backbone_params,
+                            tr.backbone_stats, arrays["images"],
+                            arrays["verbs"], arrays["labels"], valid)
+        losses[impl] = [float(x) for x in out[0]]
     np.testing.assert_allclose(losses["pallas"], losses["masked"],
                                rtol=5e-3, atol=5e-3)
+    # and the two impls must NOT be bit-identical — if they were, the
+    # pallas path silently fell back to masked and the test is vacuous
+    assert losses["pallas"] != losses["masked"], (
+        "pallas eval produced bit-identical losses to masked — kernel "
+        "path not exercised")
