@@ -121,6 +121,11 @@ from situation_recognition_tpu.ops.ggnn import GGNNParams, ggnn_propagate
 # and temporaries run under a 120 MB limit on v5e.
 _VMEM_LIMIT = 120 * 1024 * 1024
 _BLOCK_BYTES_PER_ELEM = 28   # in/out double buffers + f32 gate temporaries
+# Below this many (B*R) rows the kernel is pointless (a sub-tile of MXU
+# work dominated by launch/fetch overhead) and degenerate tiny blocks were
+# observed to stall the Mosaic compiler (batch-1 inference: bm=1 blocks hit
+# a >15-minute remote compile).  Such shapes take the masked XLA path.
+_MIN_ROWS = 128
 
 
 def fold_gate_weights(params: GGNNParams, bias_mult: float,
@@ -312,7 +317,8 @@ def ggnn_propagate_pallas(params: GGNNParams, hidden, mask,
     measurements show beats both a recompute-based and a residual-saving
     custom backward on this op.
     """
-    if not kernel_supported(hidden.shape[-1], hidden.shape[1]):
+    b, r, d = hidden.shape
+    if not kernel_supported(d, r) or b * r < _MIN_ROWS:
         return ggnn_propagate(params, hidden, mask,
                               num_steps).astype(hidden.dtype)
     return _propagate_fwd_impl(params, hidden, mask, num_steps, interpret)

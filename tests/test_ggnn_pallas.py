@@ -11,7 +11,9 @@ from situation_recognition_tpu.ops.ggnn_pallas import (
     fold_gate_weights, ggnn_propagate_pallas, kernel_supported)
 
 
-def _setup(d=256, B=16, R=6, seed=0):
+def _setup(d=256, B=24, R=6, seed=0):
+    # B*R must stay >= ggnn_pallas._MIN_ROWS (128) for the kernel path to
+    # engage; smaller shapes deliberately route to masked (see module doc)
     params = init_ggnn_params(jax.random.PRNGKey(seed), d)
     rng = np.random.default_rng(seed)
     h = jnp.asarray(rng.standard_normal((B, R, d)) * 0.5, jnp.float32)
@@ -38,9 +40,8 @@ def test_pallas_matches_masked(steps):
 
 def test_pallas_small_node_dim_padding():
     # R=4 (fixture-sized): blocks are multiples of lcm(R,16)=16 rows, and
-    # B*R=32 rows smaller than the default block exercises whole-problem
-    # blocking
-    params, h, mask = _setup(d=128, B=8, R=4, seed=1)
+    # B*R=160 rows smaller than the 576 cap exercises whole-problem blocking
+    params, h, mask = _setup(d=128, B=40, R=4, seed=1)
     want = ggnn_propagate(params, h, mask, num_steps=2)
     got = ggnn_propagate_pallas(params, h, mask, 2, True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
@@ -49,19 +50,25 @@ def test_pallas_small_node_dim_padding():
 
 
 def test_pallas_dummy_example_padding_branch():
-    """B=9, R=6 → m=54 rows, block unit lcm(6,16)=48 → bm=48, pad=42 dummy
-    rows: the only shape class that actually executes the pad branch in
-    _propagate_fwd_impl (every other test's m divides its bm exactly).
-    Dummy rows have mask 0 and must not perturb real examples."""
-    params, h, mask = _setup(d=128, B=9, R=6, seed=6)
+    """B=25, R=6 → m=150 rows, block unit lcm(6,16)=48 → bm=96 (the
+    padded-rows-minimizing choice), pad=42 dummy rows: the shape class that
+    actually executes the pad branch in _propagate_fwd_impl (most test
+    shapes divide their bm exactly).  Dummy rows have mask 0 and must not
+    perturb real examples."""
+    from situation_recognition_tpu.ops.ggnn_pallas import _pick_bm
+
+    params, h, mask = _setup(d=128, B=25, R=6, seed=6)
+    bm = _pick_bm(25 * 6, 6, 128)
+    assert 150 % bm != 0, "shape no longer exercises the padding branch"
     want = ggnn_propagate(params, h, mask, num_steps=3)
     got = ggnn_propagate_pallas(params, h, mask, 3, True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=0.1, atol=0.1)
-    # same values as the unpadded-divisible case: re-run with B=8 (m=48)
-    # on the shared prefix and compare example-for-example
-    got8 = ggnn_propagate_pallas(params, h[:8], mask[:8], 3, True)
-    np.testing.assert_allclose(np.asarray(got[:8]), np.asarray(got8),
+    # dummy-row independence: the kernel run over a clean 24-example
+    # (m=144, divides bm... its own blocking) prefix must agree with the
+    # padded 25-example run example-for-example
+    got24 = ggnn_propagate_pallas(params, h[:24], mask[:24], 3, True)
+    np.testing.assert_allclose(np.asarray(got[:24]), np.asarray(got24),
                                rtol=1e-5, atol=1e-6)
 
 

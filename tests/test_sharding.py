@@ -97,11 +97,13 @@ def test_pallas_ggnn_matches_masked_under_dp_mesh(encoder):
     from situation_recognition_tpu.ops.ggnn_pallas import kernel_supported
 
     assert kernel_supported(128, encoder.max_role_count)
-    batch = _batch(encoder, 16, seed=4)
+    # batch 32: the noun propagates must carry >= _MIN_ROWS (128) rows or
+    # the kernel row-gate routes them to masked and the test goes vacuous
+    batch = _batch(encoder, 32, seed=4)
     losses = {}
     for impl in ("masked", "pallas"):
         mesh = make_mesh()
-        cfg = TrainerConfig(hidden=128, batch_size=16, backbone="mini",
+        cfg = TrainerConfig(hidden=128, batch_size=32, backbone="mini",
                             compute_dtype=jnp.float32, seed=5,
                             ggnn_impl=impl)
         tr = Trainer(encoder, cfg, mesh=mesh)
