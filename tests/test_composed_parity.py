@@ -289,3 +289,119 @@ def test_torch_resume_continues_adamax_trajectory(encoder, ref_model, batch,
     assert adamax_state is not None
     assert int(adamax_state.count) == 3  # checkpoint was saved after 3 steps
 
+
+
+def test_lockstep_training_trajectory(encoder, ref_model, batch):
+    """8 FULL optimization steps side-by-side from the same converted
+    init: identical batches, dropout off, eval-BN, global-norm-1 clip +
+    Adamax(0.002) on both sides.  Each step's inputs depend on the previous
+    step's params, so any drift in OUR update path (clip-norm computation,
+    optax adamax epsilon/bias-correction semantics, loss reductions)
+    COMPOUNDS — this is the strongest accuracy-trajectory evidence
+    obtainable without the real dataset.  The resume test above checks one
+    aligned step; this one checks eight chained ones."""
+    import copy
+
+    import optax
+
+    from situation_recognition_tpu.models.fcggnn import nouns_loss, verb_loss
+
+    images, verbs, labels = batch
+    timg = torch.from_numpy(images.transpose(0, 3, 1, 2))
+    tv = torch.from_numpy(verbs)
+    tl = torch.from_numpy(labels)
+
+    model = copy.deepcopy(ref_model)
+    model.eval()
+    trainable = [p for p in model.parameters() if p.requires_grad]
+    opt = torch.optim.Adamax(trainable, lr=0.002)
+
+    # our side: the converted twin of the same init + the trainer's tx.
+    # .copy() is load-bearing: np.asarray over .numpy() SHARES torch's
+    # storage, JAX zero-copies NumPy on CPU, and opt.step() mutates in
+    # place — without the copy the jax side silently reads torch's
+    # post-step weights (manifested as a step-0 loss mismatch).
+    sd = {k: v.detach().numpy().copy()
+          for k, v in model.state_dict().items()}
+    bparams, bstats, head_params = \
+        torch_convert.convert_reference_checkpoint(sd)
+    backbone = ResNet(stage_sizes=(1, 1, 1, 1), base_width=2,
+                      dtype=jnp.float32)
+    head = FCGGNNHead(
+        num_verbs=encoder.get_num_verbs(),
+        num_roles=encoder.get_num_roles(),
+        num_labels=encoder.get_num_labels(),
+        max_role_count=encoder.max_role_count,
+        hidden=D, dtype=jnp.float32)
+    from flax import serialization
+
+    key = jax.random.PRNGKey(0)
+    bvars = backbone.init(key, np.zeros((1, 224, 224, 3), np.float32),
+                          train=False)
+    hp0 = head.init(key, np.zeros((1, D), np.float32),
+                    np.zeros((1,), np.int32),
+                    np.asarray(encoder.role_ids),
+                    np.asarray(encoder.role_mask))["params"]
+    bparams = serialization.from_state_dict(bvars["params"], bparams)
+    bstats = serialization.from_state_dict(bvars["batch_stats"], bstats)
+    hp = serialization.from_state_dict(hp0, head_params)
+
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamax(0.002))
+    opt_state = tx.init(hp)
+    L = encoder.get_num_labels()
+    feats = backbone.apply({"params": bparams, "batch_stats": bstats},
+                           jnp.asarray(images), train=False)
+    feats = jax.lax.stop_gradient(feats.astype(jnp.float32))
+    role_ids = jnp.asarray(encoder.role_ids)
+    role_mask = jnp.asarray(encoder.role_mask)
+
+    @jax.jit
+    def step(hp, opt_state):
+        def loss_fn(p):
+            j_verb, j_nouns, _ = head.apply(
+                {"params": p}, feats, jnp.asarray(verbs),
+                role_ids, role_mask, train=False)
+            return (verb_loss(j_verb, jnp.asarray(verbs)) +
+                    nouns_loss(j_nouns, jnp.asarray(labels), L))
+
+        loss, grads = jax.value_and_grad(loss_fn)(hp)
+        updates, opt_state = tx.update(grads, opt_state, hp)
+        return optax.apply_updates(hp, updates), opt_state, loss
+
+    for i in range(8):
+        opt.zero_grad()
+        pv, pn, _ = model(timg, tv)
+        tloss = model.verb_loss(pv, tv) + model.nouns_loss(pn, tl)
+        tloss.backward()
+        torch.nn.utils.clip_grad_norm_(trainable, 1)
+        opt.step()
+        hp, opt_state, jloss = step(hp, opt_state)
+        # per-step loss agreement (fp32, same batch, same params)
+        np.testing.assert_allclose(float(jloss), float(tloss.detach()),
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=f"loss diverged at step {i}")
+
+    # end-of-trajectory parameter agreement across every trainable tensor
+    checks = [
+        ("ggsnn.W_p.weight", ("ggnn", "w_p"), True),
+        ("ggsnn.W_z.weight", ("ggnn", "w_z"), True),
+        ("ggsnn.U_h.weight", ("ggnn", "u_h"), True),
+        ("ggsnn.U_h.bias", ("ggnn", "b_u_h"), False),
+        ("role_emb.weight", ("role_emb",), False),
+        ("verb_emb.weight", ("verb_emb",), False),
+        ("verb_classifier.1.weight", ("verb_classifier", "kernel"), True),
+        ("verb_classifier.1.bias", ("verb_classifier", "bias"), False),
+        ("nouns_classifier.1.weight", ("nouns_classifier", "kernel"), True),
+        ("nouns_classifier.1.bias", ("nouns_classifier", "bias"), False),
+    ]
+    named = dict(model.named_parameters())
+    for tname, path_, transpose in checks:
+        t = named[tname].detach().numpy()
+        node = hp
+        for p in path_:
+            node = node[p]
+        j = np.asarray(node)
+        if transpose:
+            j = j.T
+        np.testing.assert_allclose(j, t, rtol=2e-3, atol=2e-5,
+                                   err_msg=f"{tname} after 8 steps")
