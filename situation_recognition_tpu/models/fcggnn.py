@@ -101,7 +101,8 @@ class GGNN(nn.Module):
             out = self._pallas(hidden[:, None, :],
                                jnp.zeros(hidden.shape[:1] + (1,), jnp.float32))
             return out[:, 0, :]
-        return ggnn_propagate_verb(self._p, hidden, self.num_steps)
+        return ggnn_propagate_verb(self._p, hidden, self.num_steps,
+                                   remat=self.remat)
 
 
 class FCGGNNHead(nn.Module):

@@ -148,10 +148,18 @@ def ggnn_propagate_verb(
     params: GGNNParams,
     hidden: jax.Array,   # (B, D) single-node graphs
     num_steps: int = 4,
+    remat: bool = False,
 ) -> jax.Array:
-    """Verb branch: one node, self-message only (model.py:62-64)."""
+    """Verb branch: one node, self-message only (model.py:62-64).
+
+    ``remat`` checkpoints each step like ``ggnn_propagate`` does."""
+    def step(h):
+        n = h @ params.w_p + params.b_p
+        return _gru_update(params, n, h)
+
+    if remat:
+        step = jax.checkpoint(step)
     h = hidden
     for _ in range(num_steps):
-        n = h @ params.w_p + params.b_p
-        h = _gru_update(params, n, h)
+        h = step(h)
     return h

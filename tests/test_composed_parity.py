@@ -291,7 +291,7 @@ def test_torch_resume_continues_adamax_trajectory(encoder, ref_model, batch,
 
 
 
-def test_lockstep_training_trajectory(encoder, ref_model, batch):
+def test_lockstep_training_trajectory(encoder, ref_model, ours, batch):
     """8 FULL optimization steps side-by-side from the same converted
     init: identical batches, dropout off, eval-BN, global-norm-1 clip +
     Adamax(0.002) on both sides.  Each step's inputs depend on the previous
@@ -311,41 +311,16 @@ def test_lockstep_training_trajectory(encoder, ref_model, batch):
     tv = torch.from_numpy(verbs)
     tl = torch.from_numpy(labels)
 
+    # torch trains a DEEPCOPY: the `ours` fixture's converted arrays share
+    # storage with ref_model's tensors (np.asarray over .numpy() is a view
+    # and JAX zero-copies NumPy on CPU), so stepping ref_model itself would
+    # silently mutate our side's weights mid-trajectory
     model = copy.deepcopy(ref_model)
     model.eval()
     trainable = [p for p in model.parameters() if p.requires_grad]
     opt = torch.optim.Adamax(trainable, lr=0.002)
 
-    # our side: the converted twin of the same init + the trainer's tx.
-    # .copy() is load-bearing: np.asarray over .numpy() SHARES torch's
-    # storage, JAX zero-copies NumPy on CPU, and opt.step() mutates in
-    # place — without the copy the jax side silently reads torch's
-    # post-step weights (manifested as a step-0 loss mismatch).
-    sd = {k: v.detach().numpy().copy()
-          for k, v in model.state_dict().items()}
-    bparams, bstats, head_params = \
-        torch_convert.convert_reference_checkpoint(sd)
-    backbone = ResNet(stage_sizes=(1, 1, 1, 1), base_width=2,
-                      dtype=jnp.float32)
-    head = FCGGNNHead(
-        num_verbs=encoder.get_num_verbs(),
-        num_roles=encoder.get_num_roles(),
-        num_labels=encoder.get_num_labels(),
-        max_role_count=encoder.max_role_count,
-        hidden=D, dtype=jnp.float32)
-    from flax import serialization
-
-    key = jax.random.PRNGKey(0)
-    bvars = backbone.init(key, np.zeros((1, 224, 224, 3), np.float32),
-                          train=False)
-    hp0 = head.init(key, np.zeros((1, D), np.float32),
-                    np.zeros((1,), np.int32),
-                    np.asarray(encoder.role_ids),
-                    np.asarray(encoder.role_mask))["params"]
-    bparams = serialization.from_state_dict(bvars["params"], bparams)
-    bstats = serialization.from_state_dict(bvars["batch_stats"], bstats)
-    hp = serialization.from_state_dict(hp0, head_params)
-
+    backbone, head, bparams, bstats, hp = ours
     tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamax(0.002))
     opt_state = tx.init(hp)
     L = encoder.get_num_labels()

@@ -150,7 +150,9 @@ def test_remat_request_routes_to_masked_path():
     masked path — outputs must equal masked-with-remat bit-for-bit."""
     from situation_recognition_tpu.models.fcggnn import GGNN
 
-    params, h, mask = _setup(d=128, B=4, R=6, seed=8)
+    # B=24 (144 rows): above the _MIN_ROWS gate, so a broken remat routing
+    # would engage the kernel and break the bit-equality below
+    params, h, mask = _setup(d=128, B=24, R=6, seed=8)
     mod_remat = GGNN(hidden=128, num_steps=2, impl="pallas", remat=True)
     v = mod_remat.init(jax.random.PRNGKey(0), h, mask,
                        method=GGNN.propagate)
@@ -159,6 +161,11 @@ def test_remat_request_routes_to_masked_path():
     out_masked = mod_masked.apply(v, h, mask, method=GGNN.propagate)
     np.testing.assert_array_equal(np.asarray(out_remat),
                                   np.asarray(out_masked))
+    # prove the shape engages the kernel when remat is NOT requested —
+    # otherwise the bit-equality above would hold vacuously via fallback
+    mod_pallas = GGNN(hidden=128, num_steps=2, impl="pallas")
+    out_pallas = mod_pallas.apply(v, h, mask, method=GGNN.propagate)
+    assert np.any(np.asarray(out_pallas) != np.asarray(out_masked))
     params, h, mask = _setup(d=192, B=4, R=6, seed=5)
     want = ggnn_propagate(params, h, mask, num_steps=2)
     got = ggnn_propagate_pallas(params, h, mask, 2, True)

@@ -119,3 +119,44 @@ def test_pallas_ggnn_matches_masked_under_dp_mesh(encoder):
     assert losses["pallas"] != losses["masked"], (
         "pallas eval produced bit-identical losses to masked — kernel "
         "path not exercised")
+
+
+def test_pallas_kernel_engages_in_train_step_gt_branch(encoder):
+    """The train step hoists the gt noun branch outside the grad closure
+    precisely so the fused kernel runs there (ops/ggnn_pallas.py routing
+    note).  Lock that in: with identical inputs/seed, 'pallas' vs 'masked'
+    train steps must produce bit-identical v/n losses (both differentiated
+    branches run masked math via the custom_vjp fwd rule) but a DIFFERENT
+    gt loss (the kernel's bf16 numerics) — if the gt branch ever slides
+    back inside the grad closure, all three become identical and this
+    fails."""
+    batch = _batch(encoder, 32, seed=6)
+    losses = {}
+    for impl in ("masked", "pallas"):
+        mesh = make_mesh()
+        cfg = TrainerConfig(hidden=128, batch_size=32, backbone="mini",
+                            compute_dtype=jnp.float32, seed=5,
+                            ggnn_impl=impl)
+        tr = Trainer(encoder, cfg, mesh=mesh)
+        arrays, valid, _ = tr._pad_batch(batch)
+        out = tr._train_step(tr.head_params, tr.opt_state,
+                             tr.backbone_params, tr.backbone_stats,
+                             jax.random.PRNGKey(0), arrays["images"],
+                             arrays["flip"], arrays["verbs"],
+                             arrays["labels"], valid)
+        losses[impl] = [float(x) for x in out[3]]
+    def rel(i):
+        return abs(losses["pallas"][i] - losses["masked"][i]) / max(
+            abs(losses["masked"][i]), 1e-9)
+
+    # differentiated branches: both impls run masked math under the
+    # custom_vjp fwd rule — only fp32 reassociation noise allowed (the verb
+    # branch's fallback uses the masked-sum formulation vs the dedicated
+    # single-node one: identical math, different op order)
+    assert rel(0) < 1e-5 and rel(1) < 1e-5, (losses, rel(0), rel(1))
+    # gt branch: hoisted out of the grad closure, so it must carry the
+    # KERNEL's bf16 numerics — orders of magnitude above fp32 noise.  If it
+    # slides back inside the closure this drops to ~1e-7 and fails.
+    assert 1e-6 < rel(2) < 5e-3, (
+        f"gt loss rel-diff {rel(2):.2e}: the fused kernel is not "
+        "executing in the train step's gt branch (or diverged)")
