@@ -93,6 +93,36 @@ def test_pallas_grad_matches_masked_grad():
                                    rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize("R,masks", [
+    (2, "random"), (3, "random"), (5, "random"),
+    (6, "zeros"),   # every node self-messages (the verb-branch encoding)
+    (6, "ones"),    # fully-connected graphs, no pad roles
+])
+def test_pallas_matches_masked_role_count_sweep(R, masks):
+    """Robustness across role counts (block unit = lcm(R,16) varies: 32,
+    48, 80, 96) and mask extremes — the kernel's in-block adjacency must
+    reproduce the reference semantics for every graph shape the encoder
+    can produce, not just R=6 random masks."""
+    d = 128
+    B = max(1, -(-128 // R)) + 3          # keep B*R just above _MIN_ROWS
+    params = init_ggnn_params(jax.random.PRNGKey(R), d)
+    rng = np.random.default_rng(R)
+    h = jnp.asarray(rng.standard_normal((B, R, d)) * 0.5, jnp.float32)
+    if masks == "zeros":
+        mask = jnp.zeros((B, R), jnp.float32)
+    elif masks == "ones":
+        mask = jnp.ones((B, R), jnp.float32)
+    else:
+        counts = rng.integers(1, R + 1, B)
+        mask = jnp.asarray(np.arange(R)[None, :] < counts[:, None],
+                           jnp.float32)
+    want = ggnn_propagate(params, h, mask, num_steps=3)
+    got = ggnn_propagate_pallas(params, h, mask, 3, True)
+    assert B * R >= 128  # above the row gate — kernel path engaged
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0.1, atol=0.1)
+
+
 def test_grad_with_mixed_param_hidden_dtypes():
     """f32 params + bf16 hidden: the masked recompute in the backward
     promotes its primal to f32 while the kernel forward stays bf16; the
