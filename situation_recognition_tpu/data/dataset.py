@@ -52,9 +52,17 @@ class ImsituDataset:
         self.names: List[str] = list(annotations.keys())
         n = len(self.names)
         self.verbs = np.zeros((n,), dtype=np.int32)
-        self.labels = np.zeros((n, 3, encoder.max_role_count), dtype=np.int32)
+        self.labels = np.zeros((n, ImsituEncoder.NUM_FRAMES,
+                                encoder.max_role_count), dtype=np.int32)
         for i, name in enumerate(self.names):
             v, l = encoder.encode(annotations[name])
+            if l.shape[0] != ImsituEncoder.NUM_FRAMES:
+                # the imSitu schema has exactly 3 annotator frames; the
+                # reference crashes later (in collate) on anything else —
+                # fail at construction with the offending image named
+                raise ValueError(
+                    f"{name!r} has {l.shape[0]} annotation frames, "
+                    f"expected {ImsituEncoder.NUM_FRAMES}")
             self.verbs[i] = v
             self.labels[i] = l
         self._decoded_cache: Optional[dict] = None

@@ -9,11 +9,12 @@
 // processes, GIL released for the whole batch (ctypes).
 //
 // Window semantics mirror data/transforms.py::host_window: images whose
-// shorter side != 256 are first resized (separable bilinear) so the shorter
+// shorter side != 256 are first resized (separable ANTIALIASED triangle
+// filter, PIL-BILINEAR-compatible; dims via Python round()) so the shorter
 // side is 256, then a 256x256 window is cut — random offset along the long
 // axis for training (deterministic splitmix64 stream keyed by
-// (seed, epoch, index); also yields the horizontal-flip bit), centered for
-// eval.  The native augmentation stream is deterministic but distinct from
+// (seed, epoch, index); also yields the horizontal-flip bit),
+// torchvision-aligned center offset for eval.  The native augmentation stream is deterministic but distinct from
 // the Python loader's numpy PCG64 stream (documented divergence — both
 // loaders are individually reproducible).
 //
@@ -101,47 +102,116 @@ static bool decode_jpeg(const char* path, std::vector<uint8_t>& pixels,
 
 // ------------------------------------------------------------- resize
 
-// Separable bilinear resize RGB8 (half-pixel centers, PIL-compatible
-// coordinate mapping).
+// Python round(): round-half-to-EVEN.  The Python loader path computes its
+// resize dims and center offsets with the builtin round, so the native
+// path must match bit-for-bit or the two loaders cut different windows.
+static inline long round_half_even(double v) {
+  double f = std::floor(v);
+  double diff = v - f;
+  if (diff > 0.5) return static_cast<long>(f) + 1;
+  if (diff < 0.5) return static_cast<long>(f);
+  long lf = static_cast<long>(f);
+  return (lf % 2 == 0) ? lf : lf + 1;
+}
+
+// PIL-style ANTIALIASED separable triangle-filter resampling coefficients
+// for one axis (PIL ImagingResampleHorizontal/Vertical with the BILINEAR
+// filter): when downscaling, the triangle support widens by the scale
+// factor so every source pixel contributes — a plain 2-tap bilinear skips
+// most source pixels at 4x downscale (measured mean 18 / max 96 uint8
+// divergence vs PIL before this).  Weights here are float (PIL quantizes
+// to 8-bit fixed point), so resized outputs agree with PIL to ~1-2 LSB
+// rather than byte-exactly; the no-resize path stays byte-exact.
+static void build_coeffs(int src, int dst, std::vector<int>& bounds,
+                         std::vector<float>& weights, int& ksize) {
+  const double scale = static_cast<double>(src) / dst;
+  const double filterscale = std::max(scale, 1.0);
+  const double support = 1.0 * filterscale;  // triangle filter support
+  ksize = static_cast<int>(std::ceil(support)) * 2 + 1;
+  bounds.assign(static_cast<size_t>(dst) * 2, 0);
+  weights.assign(static_cast<size_t>(dst) * ksize, 0.0f);
+  std::vector<double> k(ksize);
+  for (int xx = 0; xx < dst; ++xx) {
+    const double center = (xx + 0.5) * scale;
+    int xmin = static_cast<int>(std::max(0.0, std::floor(center - support)));
+    int xmax = static_cast<int>(
+        std::min(static_cast<double>(src), std::ceil(center + support)));
+    const int n = std::min(xmax - xmin, ksize);
+    double sum = 0.0;
+    for (int j = 0; j < n; ++j) {
+      double d = std::fabs((xmin + j + 0.5 - center) / filterscale);
+      k[j] = d < 1.0 ? 1.0 - d : 0.0;
+      sum += k[j];
+    }
+    for (int j = 0; j < n; ++j) {
+      weights[static_cast<size_t>(xx) * ksize + j] =
+          static_cast<float>(sum > 0.0 ? k[j] / sum : 0.0);
+    }
+    bounds[static_cast<size_t>(xx) * 2] = xmin;
+    bounds[static_cast<size_t>(xx) * 2 + 1] = n;
+  }
+}
+
 static void resize_bilinear(const uint8_t* src, int sw, int sh,
                             uint8_t* dst, int dw, int dh) {
-  std::vector<float> tmp(static_cast<size_t>(dw) * sh * 3);
-  const float sx = static_cast<float>(sw) / dw;
-  const float sy = static_cast<float>(sh) / dh;
+  std::vector<int> xb, yb;
+  std::vector<float> xw, yw;
+  int xk = 0, yk = 0;
+  build_coeffs(sw, dw, xb, xw, xk);
+  build_coeffs(sh, dh, yb, yw, yk);
 
-  // horizontal pass
+  // horizontal pass (float intermediate)
+  std::vector<float> tmp(static_cast<size_t>(dw) * sh * 3);
   for (int y = 0; y < sh; ++y) {
     const uint8_t* srow = src + static_cast<size_t>(y) * sw * 3;
     float* trow = tmp.data() + static_cast<size_t>(y) * dw * 3;
     for (int x = 0; x < dw; ++x) {
-      float cx = (x + 0.5f) * sx - 0.5f;
-      int x0 = static_cast<int>(std::floor(cx));
-      float fx = cx - x0;
-      int x1 = std::min(x0 + 1, sw - 1);
-      x0 = std::max(x0, 0);
-      for (int c = 0; c < 3; ++c) {
-        trow[x * 3 + c] = (1.0f - fx) * srow[x0 * 3 + c] + fx * srow[x1 * 3 + c];
+      const int xmin = xb[static_cast<size_t>(x) * 2];
+      const int n = xb[static_cast<size_t>(x) * 2 + 1];
+      const float* k = xw.data() + static_cast<size_t>(x) * xk;
+      float acc0 = 0, acc1 = 0, acc2 = 0;
+      for (int j = 0; j < n; ++j) {
+        const uint8_t* p = srow + static_cast<size_t>(xmin + j) * 3;
+        acc0 += k[j] * p[0];
+        acc1 += k[j] * p[1];
+        acc2 += k[j] * p[2];
       }
+      trow[x * 3 + 0] = acc0;
+      trow[x * 3 + 1] = acc1;
+      trow[x * 3 + 2] = acc2;
     }
   }
   // vertical pass
   for (int y = 0; y < dh; ++y) {
-    float cy = (y + 0.5f) * sy - 0.5f;
-    int y0 = static_cast<int>(std::floor(cy));
-    float fy = cy - y0;
-    int y1 = std::min(y0 + 1, sh - 1);
-    y0 = std::max(y0, 0);
-    const float* r0 = tmp.data() + static_cast<size_t>(y0) * dw * 3;
-    const float* r1 = tmp.data() + static_cast<size_t>(y1) * dw * 3;
+    const int ymin = yb[static_cast<size_t>(y) * 2];
+    const int n = yb[static_cast<size_t>(y) * 2 + 1];
+    const float* k = yw.data() + static_cast<size_t>(y) * yk;
     uint8_t* drow = dst + static_cast<size_t>(y) * dw * 3;
     for (int i = 0; i < dw * 3; ++i) {
-      float v = (1.0f - fy) * r0[i] + fy * r1[i];
+      float v = 0;
+      for (int j = 0; j < n; ++j) {
+        v += k[j] * tmp[static_cast<size_t>(ymin + j) * dw * 3 + i];
+      }
       drow[i] = static_cast<uint8_t>(std::min(255.0f, std::max(0.0f, v + 0.5f)));
     }
   }
 }
 
 // ------------------------------------------------------------- window
+
+// Mirror of transforms._center_offset: the reference center-crops AFTER
+// resizing to 224-short-side with int(round(...)) (torchvision
+// CenterCrop); compute that offset at the reference's scale and map it
+// back into 256-space.  Python round() semantics throughout.
+static int center_offset(int full) {
+  if (full <= kWindow) return 0;
+  int dim224 = static_cast<int>(round_half_even(full * 224.0 / 256.0));
+  int off224 = static_cast<int>(round_half_even((dim224 - 224) / 2.0));
+  long mapped = round_half_even(
+      static_cast<double>(off224) * full / dim224);
+  return static_cast<int>(
+      std::min<long>(full - kWindow, mapped));
+}
 
 static bool make_window(const char* path, bool train, uint64_t seed,
                         uint64_t epoch, int64_t index, uint8_t* out,
@@ -153,9 +223,11 @@ static bool make_window(const char* path, bool train, uint64_t seed,
   const uint8_t* img = pixels.data();
   std::vector<uint8_t> resized;
   if (std::min(w, h) != kWindow) {
+    // dims with Python round() semantics — must match
+    // transforms.normalize_short_side or the two loaders disagree
     double scale = static_cast<double>(kWindow) / std::min(w, h);
-    int nw = std::max(kWindow, static_cast<int>(std::lround(w * scale)));
-    int nh = std::max(kWindow, static_cast<int>(std::lround(h * scale)));
+    int nw = std::max(kWindow, static_cast<int>(round_half_even(w * scale)));
+    int nh = std::max(kWindow, static_cast<int>(round_half_even(h * scale)));
     resized.resize(static_cast<size_t>(nw) * nh * 3);
     resize_bilinear(pixels.data(), w, h, resized.data(), nw, nh);
     img = resized.data();
@@ -172,8 +244,8 @@ static bool make_window(const char* path, bool train, uint64_t seed,
     ox = (w > kWindow) ? static_cast<int>(splitmix64(state) % (w - kWindow + 1)) : 0;
     flip = static_cast<uint8_t>(splitmix64(state) & 1);
   } else {
-    oy = (h - kWindow) / 2;
-    ox = (w - kWindow) / 2;
+    oy = center_offset(h);
+    ox = center_offset(w);
   }
   if (flip_out) *flip_out = flip;
 

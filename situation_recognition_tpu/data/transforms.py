@@ -16,8 +16,17 @@ TPU-native split (BASELINE north star: device-resident preprocessing):
    shorter side exactly 224, so the reference's 224-crop only slides along
    the long axis; a 256-window before a 256→224 resize selects the same
    field of view (224 * 256/224 = 256), so the crop distribution is
-   equivalent and only resample order differs (documented, tolerance-tested
-   divergence at the ~1e-2 pixel level).
+   equivalent and only resample order differs (crop→resize here vs the
+   reference's resize→crop).  Honest bounds for that divergence
+   (DIVERGENCES #5): bit-free exactness is impossible — the window start
+   is an integer in 256-space while the reference's maps to a fraction
+   (≤0.5px FOV shift after the torchvision-aligned rounding in
+   ``_center_offset``), plus a ≤0.2% long-axis aspect difference.  On
+   photograph-like content the result stays within a few uint8 LSB
+   (tolerance-tested vs a PIL oracle); adversarial pixel-frequency
+   content can diverge further — that is inherent to reordering
+   resampling, affects train-time augmented views far less than it
+   affects metric-parity eval, and is exact for square inputs.
 2. **Device** (batched, inside the jitted step): uint8 → separable bilinear
    antialiased resize 256→224 as two MXU matmuls (the exact
    ``jax.image.resize(..., 'linear', antialias=True)`` weights, extracted
@@ -85,9 +94,25 @@ def host_window(img: np.ndarray, train: bool, rng: np.random.Generator | None = 
         oy = int(rng.integers(0, h - WINDOW + 1))
         ox = int(rng.integers(0, w - WINDOW + 1))
     else:
-        oy = (h - WINDOW) // 2
-        ox = (w - WINDOW) // 2
+        oy = _center_offset(h)
+        ox = _center_offset(w)
     return img[oy:oy + WINDOW, ox:ox + WINDOW]
+
+
+def _center_offset(full: int) -> int:
+    """Center-window offset along one axis, aligned to torchvision.
+
+    The reference center-crops AFTER resizing to 224-short-side, with
+    ``int(round((dim224 - 224)/2))`` (torchvision CenterCrop); a plain
+    ``(full - 256)//2`` at 256-scale lands up to ~1.3px away for widths
+    where the two roundings disagree (e.g. 259: floor gives 1, the
+    reference's center maps to 2.28).  Compute the reference's offset at
+    its own scale and map it back."""
+    if full <= WINDOW:
+        return 0
+    dim224 = round(full * CROP / WINDOW)      # the reference's resized dim
+    off224 = int(round((dim224 - CROP) / 2))
+    return min(full - WINDOW, round(off224 * full / dim224))
 
 
 # ----------------------------------------------------------------- device

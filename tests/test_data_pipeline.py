@@ -41,7 +41,9 @@ def pil_dev_transform(img: Image.Image) -> np.ndarray:
     else:
         nh, nw = 224, int(round(w * 224 / h))
     img = img.resize((nw, nh), Image.BILINEAR)
-    left, top = (nw - 224) // 2, (nh - 224) // 2
+    # torchvision CenterCrop rounds the half-offset (int(round(...))) —
+    # NOT floor; the two differ for odd size deltas
+    left, top = int(round((nw - 224) / 2)), int(round((nh - 224) / 2))
     img = img.crop((left, top, left + 224, top + 224))
     x = np.asarray(img).astype(np.float32) / 255.0
     return (x - IMAGENET_MEAN) / IMAGENET_STD

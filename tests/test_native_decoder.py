@@ -86,3 +86,56 @@ def test_loader_native_fallback_on_corrupt(tmp_path, encoder, overfitting_json, 
     loader = ImsituLoader(ds, batch_size=5, shuffle=False, decoder="native")
     with pytest.raises(Exception):
         list(loader)
+
+
+def test_downscale_resize_antialiased_matches_pil(tmp_path):
+    """Images needing a real downscale (short side 1024 → 256) must go
+    through ANTIALIASED resampling like PIL/torchvision — a plain 2-tap
+    bilinear skips most source pixels at 4x and measured mean 18 / max 96
+    uint8 divergence before the triangle-filter resampler.  Float vs PIL's
+    8-bit fixed-point coefficients leaves only a few-LSB residue."""
+    from situation_recognition_tpu.data.transforms import (
+        host_window, normalize_short_side)
+
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 255, size=(1024, 1365, 3), dtype=np.uint8)
+    path = tmp_path / "big.jpg"
+    Image.fromarray(arr).save(path, quality=95)
+
+    images, flips, failed = native_decoder.decode_window_batch(
+        [str(path)], False, 0, 0, [0])
+    assert not failed.any()
+
+    decoded = np.asarray(Image.open(path).convert("RGB"))
+    want = host_window(normalize_short_side(decoded), train=False)
+
+    diff = np.abs(images[0].astype(np.int32) - want.astype(np.int32))
+    assert diff.mean() < 2.0, diff.mean()
+    assert diff.max() <= 24, diff.max()
+
+
+def test_center_offset_matches_python_loader(tmp_path):
+    """Odd long-axis deltas exercise the round-half-even center offset:
+    the native and Python loaders must cut the SAME window (the content is
+    smooth after downscale, so a 1px offset error would still pass a
+    tolerance check — compare against an intentionally shifted window to
+    prove the test can discriminate)."""
+    from situation_recognition_tpu.data.transforms import (
+        _center_offset, host_window, normalize_short_side)
+
+    rng = np.random.default_rng(9)
+    # short side 256 (no resize; byte-exact path), long side odd delta
+    arr = rng.integers(0, 255, size=(256, 259, 3), dtype=np.uint8)
+    path = tmp_path / "odd.jpg"
+    Image.fromarray(arr).save(path, quality=95)
+    images, _, failed = native_decoder.decode_window_batch(
+        [str(path)], False, 0, 0, [0])
+    assert not failed.any()
+    decoded = np.asarray(Image.open(path).convert("RGB"))
+    want = host_window(normalize_short_side(decoded), train=False)
+    np.testing.assert_array_equal(images[0], want)
+    # discriminating power: the floor-offset window differs
+    off = _center_offset(259)
+    assert off == 2  # round-half-even path; floor would give 1
+    shifted = decoded[:, 1:1 + 256]
+    assert not np.array_equal(images[0], shifted)
