@@ -18,6 +18,7 @@ checkpoints (converted on the fly, incl. the pretrained ``resnet152_sr``).
 
 from __future__ import annotations
 
+import sys
 import json
 import os
 from argparse import ArgumentParser
@@ -170,7 +171,7 @@ def _load_resume(trainer, path: str):
             serialization.to_state_dict(trainer.opt_state), mu, nu, count)
     else:
         print('[srtpu] torch checkpoint has no optimizer state; '
-              'starting with a fresh Adamax state')
+              'starting with a fresh Adamax state', file=sys.stderr)
     ckpt = {
         "epoch": int(raw.get("epoch", 0)),
         "backbone_params": bparams,
@@ -226,29 +227,18 @@ def main(argv=None) -> None:
         encoder.save(encoder_path)
     else:
         print("Loading encoder file")
-        encoder = ImsituEncoder.load(encoder_path)
-
-    def _prepare(dataset):
-        if args.packed_dir:
-            dataset.enable_packed(args.packed_dir)
-        elif args.cache_decoded:
-            dataset.enable_decode_cache()
-        return dataset
-
-    train_set = _prepare(
-        ImsituDataset(args.imgset_dir, train_json, encoder, train=True))
-    train_loader = ImsituLoader(train_set, batch_size=args.batch_size,
-                                shuffle=True, seed=args.seed,
-                                num_workers=args.num_workers)
-    dev_set = _prepare(
-        ImsituDataset(args.imgset_dir, dev_json, encoder, train=False))
-    dev_loader = ImsituLoader(dev_set, batch_size=args.batch_size,
-                              shuffle=False, num_workers=args.num_workers)
-    test_set = _prepare(
-        ImsituDataset(args.imgset_dir, test_json, encoder, train=False))
-    test_loader = ImsituLoader(test_set, batch_size=args.batch_size,
-                               shuffle=True, seed=args.seed,
-                               num_workers=args.num_workers)  # ref quirk
+        if _is_torch_checkpoint(encoder_path):
+            # a reference-written pickle at the same path (sr.py:444-447):
+            # its class isn't importable here, and the vocab is pure
+            # derived data — rebuild from train.json (identical contents,
+            # insertion-order semantics preserved); leave the user's file
+            # untouched
+            print('[srtpu] encoder file is a reference torch pickle; '
+                  'rebuilding the (identical) vocab from train.json',
+                  file=sys.stderr)
+            encoder = ImsituEncoder(encoder_json)
+        else:
+            encoder = ImsituEncoder.load(encoder_path)
 
     on_tpu = jax.default_backend() == 'tpu'
     if args.precision == 'bf16' or (args.precision == 'auto' and on_tpu):
@@ -264,7 +254,33 @@ def main(argv=None) -> None:
     if batch % ndata != 0:
         batch = ((batch + ndata - 1) // ndata) * ndata
         print(f'[srtpu] batch_size rounded up to {batch} '
-              f'(divisible by data axis {ndata})')
+              f'(divisible by data axis {ndata})', file=sys.stderr)
+
+    def _prepare(dataset):
+        if args.packed_dir:
+            dataset.enable_packed(args.packed_dir)
+        elif args.cache_decoded:
+            dataset.enable_decode_cache()
+        return dataset
+
+    # loaders use the ROUNDED batch: built at args.batch_size they would
+    # deliver a short batch every step, making _pad_batch wrap duplicate
+    # rows into every step (wasted compute + skewed train-mode BN stats)
+    # instead of only the final partial batch
+    train_set = _prepare(
+        ImsituDataset(args.imgset_dir, train_json, encoder, train=True))
+    train_loader = ImsituLoader(train_set, batch_size=batch,
+                                shuffle=True, seed=args.seed,
+                                num_workers=args.num_workers)
+    dev_set = _prepare(
+        ImsituDataset(args.imgset_dir, dev_json, encoder, train=False))
+    dev_loader = ImsituLoader(dev_set, batch_size=batch,
+                              shuffle=False, num_workers=args.num_workers)
+    test_set = _prepare(
+        ImsituDataset(args.imgset_dir, test_json, encoder, train=False))
+    test_loader = ImsituLoader(test_set, batch_size=batch,
+                               shuffle=True, seed=args.seed,
+                               num_workers=args.num_workers)  # ref quirk
 
     from situation_recognition_tpu.train import default_hidden
     hidden = default_hidden(args.backbone)
@@ -282,9 +298,10 @@ def main(argv=None) -> None:
         if pisfile(default_bb):
             _load_backbone(trainer, default_bb)
         elif not args.resume_model:
+            # stderr: stdout stays byte-compatible with reference transcripts
             print('[srtpu] no pretrained backbone found '
                   '(use --backbone_ckpt or tools/convert_torch.py); '
-                  'training from random backbone weights')
+                  'training from random backbone weights', file=sys.stderr)
 
     if len(args.resume_model) > 1:
         print('Resume training from: {}'.format(args.resume_model))
@@ -321,8 +338,17 @@ def main(argv=None) -> None:
         analize_subset(trainer, dev_set, encoder, args.subset)
     else:
         print('Model training started!')
+        # _load_resume already restored the model/optimizer state; pass fit
+        # only the bookkeeping (epoch, histories, mid) so it is not
+        # restored a second time (the reference double-loads, sr.py:486 +
+        # :28-41 — dead behavior we do not replicate, DIVERGENCES #8)
+        fit_ckpt = None
+        if checkpoint is not None:
+            fit_ckpt = {k: v for k, v in checkpoint.items()
+                        if k not in ('head_params', 'backbone_params',
+                                     'backbone_stats', 'opt_state')}
         trainer.fit(train_loader, dev_loader, args.model_saving_name,
-                    folder=args.saving_folder, checkpoint=checkpoint,
+                    folder=args.saving_folder, checkpoint=fit_ckpt,
                     save_every_steps=args.save_steps or None)
 
 

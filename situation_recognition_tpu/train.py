@@ -71,6 +71,11 @@ class TrainerConfig:
     #            BN forces two extra bandwidth-bound passes over every
     #            activation: the f32 stat reduction and the re-normalize);
     #            diverges from the reference's learning trajectory.
+    # Running-stat divergence under "train" (DIVERGENCES #16): the shared
+    # backbone keeps ONE stats tree updated once per step; the reference
+    # keeps two (convnet_verbs 1 update/step via predict_verb,
+    # convnet_nouns 2/step via both noun branches) — normalize math per
+    # batch is identical, only the EMA trajectories (used at eval) differ.
     frozen_backbone_bn: str = "train"    # train (parity) | eval (fast)
 
 
@@ -195,16 +200,39 @@ class Trainer:
         self._bsh = NamedSharding(self.mesh, P("data"))
 
         # placement: batch over 'data'; classifier kernels over 'model'
-        # (head_param_sharding); everything else replicated.  The optimizer
-        # state is built under jit so mu/nu inherit the param shardings.
+        # (head_param_sharding); everything else replicated.
         from situation_recognition_tpu.parallel.mesh import head_param_sharding
 
         self._head_sh = head_param_sharding(self.mesh, self.head_params)
         self.head_params = jax.device_put(self.head_params, self._head_sh)
         self.backbone_params = jax.device_put(self.backbone_params, self._repl)
         self.backbone_stats = jax.device_put(self.backbone_stats, self._repl)
-        self.opt_state = jax.jit(self.tx.init)(self.head_params)
+        self.opt_state = self._place_opt_state(
+            jax.jit(self.tx.init)(self.head_params))
         self._build_steps()
+
+    def _place_opt_state(self, state):
+        """Commit an optimizer-state tree to the mesh: adamax mu/nu mirror
+        the head-param shardings (they share the param treedef), every
+        other leaf replicated.  One placement rule for BOTH the fresh init
+        and checkpoint restore — plain ``jit(tx.init)`` leaves its outputs
+        on a single device and ``from_state_dict`` leaves host numpy, so
+        without this the first resumed train step would compile against a
+        different placement than steady state (an extra full ~20-40s
+        compile + a donation mismatch)."""
+        def place(node):
+            if hasattr(node, "mu") and hasattr(node, "nu"):
+                return node._replace(
+                    count=jax.device_put(jnp.asarray(node.count),
+                                         self._repl),
+                    mu=jax.device_put(node.mu, self._head_sh),
+                    nu=jax.device_put(node.nu, self._head_sh))
+            return jax.tree.map(
+                lambda leaf: jax.device_put(jnp.asarray(leaf), self._repl),
+                node)
+
+        return jax.tree.map(place, state,
+                            is_leaf=lambda n: hasattr(n, "mu"))
 
     # ------------------------------------------------------------- stepping
 
@@ -540,7 +568,11 @@ class Trainer:
             epoch = int(checkpoint["epoch"])
             for k in histories:
                 histories[k] = list(checkpoint[k])
-            self.load_model_state(checkpoint)
+            # the CLI resume path strips the model-state keys because
+            # _load_resume already restored them; a dict that still carries
+            # them (direct fit() callers, tests) is loaded here
+            if checkpoint.get("head_params") is not None:
+                self.load_model_state(checkpoint)
             mid_state = checkpoint.get("mid")
 
         ckpt_path = os.path.join(folder, model_saving_name)
@@ -653,7 +685,9 @@ class Trainer:
         self.backbone_params = jax.device_put(self.backbone_params, self._repl)
         self.backbone_stats = jax.device_put(self.backbone_stats, self._repl)
         if state.get("opt_state") is not None:
-            self.opt_state = serialization.from_state_dict(
-                self.opt_state, state["opt_state"])
+            self.opt_state = self._place_opt_state(
+                serialization.from_state_dict(self.opt_state,
+                                              state["opt_state"]))
         else:
-            self.opt_state = jax.jit(self.tx.init)(self.head_params)
+            self.opt_state = self._place_opt_state(
+                jax.jit(self.tx.init)(self.head_params))

@@ -223,17 +223,24 @@ def convert_reference_checkpoint(
     head_params).
 
     The backbone comes from ``convnet_nouns`` (the reference's two convnets
-    are frozen identical copies, model.py:100-101); if
-    ``check_backbones_equal`` both copies are compared and a mismatch raises
-    (a divergent checkpoint would need ``share_backbone=False``, which this
-    framework does not need for any published reference checkpoint).
+    are frozen identical copies, model.py:100-101).  ``check_backbones_equal``
+    verifies the twin WEIGHTS match and raises on divergence — frozen params
+    cannot legitimately differ, so a mismatch means the checkpoint is not a
+    reference-shaped one.  BN RUNNING STATS (and num_batches_tracked) are
+    exempt: in any genuinely trained reference checkpoint they NECESSARILY
+    diverge, because model.train() keeps both frozen convnets in train-mode
+    BN and each step EMA-updates convnet_verbs once (predict_verb) but
+    convnet_nouns twice (both predict_nouns branches, model.py:171-180).
+    The conversion adopts convnet_nouns' stats for the shared backbone —
+    the noun branches carry 2 of the 3 losses (DIVERGENCES #16).
     """
     if check_backbones_equal:
         for k in state:
             if k.startswith("convnet_nouns."):
                 twin = "convnet_verbs." + k[len("convnet_nouns."):]
                 if twin in state and not np.array_equal(state[k], state[twin]):
-                    if "num_batches_tracked" in k:
+                    if ("num_batches_tracked" in k or "running_mean" in k
+                            or "running_var" in k):
                         continue
                     raise ValueError(
                         f"backbone copies diverge at {k}; cannot share backbone")

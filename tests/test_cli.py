@@ -134,3 +134,26 @@ def test_resume_mode(workdir):
     assert "Resume training from: sr" in r.stdout
     assert "Epoch-1," in r.stdout
     assert "Epoch-0," not in r.stdout
+
+
+def test_reference_pickle_encoder_cache_rebuilt(workdir):
+    """Migrate-in-place workflow: a reference checkpoints/ dir contains an
+    'encoder' file written by torch.save (pickle bytes, sr.py:444-447).
+    The CLI must sniff it, print the reference's 'Loading encoder file'
+    line, and rebuild the (identical, derived) vocab from train.json
+    instead of crashing in json.load."""
+    import shutil
+
+    folder = os.path.join(workdir, "ckpt_refpickle")
+    os.makedirs(folder, exist_ok=True)
+    with open(os.path.join(folder, "encoder"), "wb") as f:
+        f.write(b"\x80\x02" + b"\x00" * 64)   # legacy pickle magic
+    try:
+        r = run_cli(workdir, "--saving_folder", "ckpt_refpickle",
+                    "--evaluate_dev")
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "Loading encoder file" in r.stdout
+        assert "reference torch pickle" in r.stderr
+        assert "=> evaluating model with dev-set..." in r.stdout
+    finally:
+        shutil.rmtree(folder, ignore_errors=True)

@@ -380,3 +380,41 @@ def test_lockstep_training_trajectory(encoder, ref_model, ours, batch):
             j = j.T
         np.testing.assert_allclose(j, t, rtol=2e-3, atol=2e-5,
                                    err_msg=f"{tname} after 8 steps")
+
+
+def test_converter_accepts_trained_checkpoint_diverged_bn_stats(
+        encoder, ref_model, batch):
+    """Any genuinely trained reference checkpoint has diverged twin BN
+    running stats: model.train() keeps both frozen convnets in train-mode
+    BN and each step updates convnet_verbs once but convnet_nouns twice
+    (model.py:171-180).  The converter must accept that (adopting
+    convnet_nouns' stats — DIVERGENCES #16) while still rejecting WEIGHT
+    divergence, which frozen copies cannot legitimately have."""
+    import copy
+
+    images, verbs, labels = batch
+    model = copy.deepcopy(ref_model)
+    model.train()
+    with torch.no_grad():
+        model(torch.from_numpy(images.transpose(0, 3, 1, 2)),
+              torch.from_numpy(verbs))
+    sd = {k: v.detach().numpy().copy()
+          for k, v in model.state_dict().items()}
+    v_rm = sd["convnet_verbs.model.bn1.running_mean"]
+    n_rm = sd["convnet_nouns.model.bn1.running_mean"]
+    assert not np.array_equal(v_rm, n_rm), \
+        "fixture did not diverge the twin running stats"
+
+    bparams, bstats, head = torch_convert.convert_reference_checkpoint(sd)
+
+    stats_leaves = [np.asarray(x) for x in jax.tree.leaves(bstats)]
+    assert any(np.array_equal(leaf, n_rm) for leaf in stats_leaves), \
+        "converted stats do not carry convnet_nouns' running_mean"
+    assert not any(np.array_equal(leaf, v_rm) for leaf in stats_leaves)
+
+    # weight divergence must still be rejected
+    sd_bad = dict(sd)
+    sd_bad["convnet_verbs.model.conv1.weight"] = \
+        sd["convnet_verbs.model.conv1.weight"] + 1.0
+    with pytest.raises(ValueError, match="diverge"):
+        torch_convert.convert_reference_checkpoint(sd_bad)
