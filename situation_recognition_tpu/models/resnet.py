@@ -10,7 +10,11 @@ checkpoint via ``tools/convert_torch.py``.
 Faithfulness notes:
 
 * torchvision's Bottleneck is v1.5 — the stride sits on the 3x3 conv — and BN
-  uses eps 1e-5, momentum 0.1 (flax momentum 0.9).
+  uses eps 1e-5, momentum 0.1 (flax momentum 0.9).  One residual BN
+  difference (DIVERGENCES #7): flax EMAs the BIASED batch variance into
+  running_var while torch stores the Bessel-corrected one — relative error
+  1/(n-1) per update (~1e-7 at n = B*H*W), so long torch-parity runs drift
+  in running_var at that order; the normalization math itself matches.
 * The reference calls ``model.train()`` during training, so its "frozen"
   backbone still normalizes with **batch** statistics and updates running
   stats; only the affine/conv params are frozen.  ``train=True`` reproduces

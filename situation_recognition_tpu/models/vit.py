@@ -29,7 +29,11 @@ class MlpBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
-        x = nn.gelu(x)
+        # exact GELU (torch nn.GELU default) — flax's default is the tanh
+        # approximation, which would diverge per-layer on converted torch
+        # weights.  Note: CLIP-trained ViTs use QuickGELU (x*sigmoid(1.702x));
+        # if a CLIP converter is ever added, make the activation a variant.
+        x = nn.gelu(x, approximate=False)
         return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
 
 

@@ -7,10 +7,12 @@ input scatter + output gather through ``torch.cuda.comm``/NCCL, we lay out a
 
 * batch arrays shard dim 0 over ``data`` (gradient all-reduce over ICI);
 * parameters are replicated, except the two wide classifier kernels
-  (2048 x 504 and 2048 x 2001) which can shard their output dim over
-  ``model`` when the mesh has a model axis (tensor parallelism is optional —
-  the model is small enough that pure DP is usually optimal; the axis exists
-  to exercise and validate 2-D shardings).
+  (2048 x 504 and 2048 x 2001) which shard their INPUT (contraction) dim
+  over ``model`` when the mesh has a model axis — P('model', None), chosen
+  precisely because 2048 divides any practical axis size while 504/2001 do
+  not (see ``head_param_sharding``).  Tensor parallelism is optional — the
+  model is small enough that pure DP is usually optimal; the axis exists
+  to exercise and validate 2-D shardings.
 
 The reference's only strategy is DP (SURVEY §2c); TP here is a strict
 superset, and PP/SP/EP are deliberately not built (nothing to pipeline or

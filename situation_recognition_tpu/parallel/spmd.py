@@ -6,10 +6,14 @@ want manual control of the communication pattern, and it is the closest
 semantic twin of the reference's ``nn.DataParallel`` (sr.py:467-470):
 
 * each shard computes on its local batch slice;
-* BatchNorm batch-statistics are **per-shard** (exactly like per-GPU BN
-  under DataParallel — the jit path computes global batch stats instead;
-  at batch 768/shard the difference is negligible, but this path is the
-  bit-faithful one);
+* BatchNorm batch-statistics are **per-shard** for the NORMALIZATION
+  (exactly like per-GPU BN under DataParallel — the jit path computes
+  global batch stats instead; at batch 768/shard the difference is
+  negligible).  The persisted running-stat EMA, however, averages all
+  shards' batch stats (pmean below) — a deliberate improvement over
+  DataParallel, which silently keeps only GPU-0's buffer updates
+  (non-primary replica buffers are discarded each forward), so exact
+  running-stat parity with a multi-GPU reference run is NOT claimed;
 * loss terms and gradients are combined with explicit ``psum`` over the
   ``data`` axis (the reference gathers outputs and reduces grads on GPU0;
   on TPU the all-reduce rides ICI);
@@ -34,7 +38,17 @@ from jax.experimental.shard_map import shard_map
 
 def make_shardmap_train_step(trainer):
     """Build a shard_map train step with the same signature/semantics as
-    ``trainer._train_step`` (losses are globally masked-mean reduced)."""
+    ``trainer._train_step`` (losses are globally masked-mean reduced).
+
+    Data-parallel only: the in/out specs replicate head params and
+    optimizer state (P()), which would silently all-gather model-axis
+    tensor-parallel kernels and return them replicated — losing the TP
+    placement and forcing a recompile of the jit step afterwards — so TP
+    configurations are rejected outright."""
+    if trainer.config.model_axis != 1:
+        raise NotImplementedError(
+            "the explicit shard_map step is data-parallel only; classifier "
+            "tensor parallelism (model_axis > 1) is served by the jit path")
     mesh = trainer.mesh
     head = trainer.head
     backbone = trainer.backbone

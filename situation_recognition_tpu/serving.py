@@ -35,6 +35,11 @@ def export_inference(trainer, path: str, batch_size: int = 1) -> None:
     from situation_recognition_tpu.data.transforms import device_transform
 
     head = trainer.head
+    if getattr(head, "ggnn_impl", "masked") != "masked":
+        # the fused Pallas kernel lowers to a TPU-only Mosaic custom call;
+        # the exported artifact must run on any platform, so serve with the
+        # mathematically identical masked-sum path (same params)
+        head = head.clone(ggnn_impl="masked")
     backbone = trainer.backbone
     bvars = {"params": jax.device_get(trainer.backbone_params)}
     if trainer._backbone_has_bn:
@@ -54,7 +59,11 @@ def export_inference(trainer, path: str, batch_size: int = 1) -> None:
         return verb_logits, verb_ids, noun_logits
 
     stub = jnp.zeros((batch_size, 256, 256, 3), jnp.uint8)
-    exported = jax.export.export(jax.jit(serve))(stub)
+    # lower for BOTH platforms — export() without `platforms` records only
+    # the exporting machine's backend and Exported.call() refuses to run
+    # anywhere else, breaking the export-on-CPU/serve-on-TPU promise
+    exported = jax.export.export(jax.jit(serve),
+                                 platforms=["cpu", "tpu"])(stub)
 
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, "model.stablehlo"), "wb") as f:

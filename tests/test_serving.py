@@ -32,3 +32,23 @@ def test_export_load_roundtrip(encoder, tmp_path):
     live_nouns = np.asarray(tr.infer_nouns(imgs, np.asarray(verb_ids)))
     np.testing.assert_allclose(np.asarray(noun_logits), live_nouns,
                                rtol=1e-4, atol=1e-5)
+
+
+def test_export_is_multi_platform(encoder, tmp_path):
+    """The artifact must be lowered for BOTH cpu and tpu — export() without
+    `platforms` records only the exporting backend, and Exported.call()
+    then refuses to run anywhere else (breaking export-on-CPU/serve-on-TPU).
+    A pallas-configured head must also export (the serving path swaps in
+    the masked GGNN, since the fused kernel is a TPU-only custom call)."""
+    import os
+
+    import jax
+
+    cfg = TrainerConfig(hidden=64, batch_size=8, backbone="mini",
+                        compute_dtype=jnp.float32, ggnn_impl="pallas")
+    tr = Trainer(encoder, cfg)
+    path = str(tmp_path / "artifact_mp")
+    export_inference(tr, path, batch_size=2)
+    with open(os.path.join(path, "model.stablehlo"), "rb") as f:
+        exported = jax.export.deserialize(f.read())
+    assert set(p.lower() for p in exported.platforms) == {"cpu", "tpu"}

@@ -119,3 +119,16 @@ def test_shardmap_deterministic(encoder):
                    arrays["labels"], valid)
         results.append([float(x) for x in out[3]])
     assert results[0] == results[1]
+
+
+def test_shardmap_rejects_tensor_parallel(encoder):
+    """The explicit step's P() specs would silently all-gather model-axis
+    kernels and return them replicated; TP configs must be rejected."""
+    import pytest
+
+    mesh = make_mesh(num_devices=8, model=2)
+    cfg = TrainerConfig(hidden=64, batch_size=8, backbone="mini",
+                        compute_dtype=jnp.float32, model_axis=2)
+    tr = Trainer(encoder, cfg, mesh=mesh)
+    with pytest.raises(NotImplementedError, match="data-parallel only"):
+        make_shardmap_train_step(tr)
