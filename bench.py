@@ -55,17 +55,7 @@ def main():
 
     # full-size synthetic vocab: 504 verbs / 190 roles / 2001 labels / R=6
     # (the tiny fixture would understate the classifier + GGNN width)
-    encoder = ImsituEncoder(None)
-    encoder.verb_list = [f"v{i}" for i in range(504)]
-    encoder.role_list = [f"r{i}" for i in range(190)]
-    encoder.label_list = [f"n{i}" for i in range(2001)]
-    rng0 = np.random.default_rng(0)
-    encoder.roles_per_verb = {
-        v: [f"r{j}" for j in rng0.choice(190, size=rng0.integers(1, 7),
-                                         replace=False)]
-        for v in encoder.verb_list}
-    encoder.max_role_count = 6
-    encoder._build_tables()
+    encoder = ImsituEncoder.synthetic_full()
 
     from situation_recognition_tpu.train import default_hidden
 
@@ -137,7 +127,11 @@ def main():
         "v4": (275e12, 1228e9), "v5e": (197e12, 819e9),
         "v5p": (459e12, 2765e9), "v6e": (918e12, 1640e9),
     }
-    gen = os.environ.get("PALLAS_AXON_TPU_GEN", "v5e" if on_tpu else "")
+    gen = os.environ.get("PALLAS_AXON_TPU_GEN", "")
+    if not gen and on_tpu:
+        gen = "v5e"
+        print("[bench] PALLAS_AXON_TPU_GEN unset — assuming v5e peaks for "
+              "MFU/HBM figures", file=sys.stderr)
     mfu = hbm_util = None
     try:
         if mode == "eval":
@@ -153,10 +147,15 @@ def main():
                 arrays["flip"], arrays["verbs"], arrays["labels"], valid)
         cost = lowered.compile().cost_analysis()
         if gen in peaks and cost and cost.get("flops"):
+            # cost_analysis reports the PER-DEVICE (SPMD-partitioned)
+            # module's flops/bytes — verified empirically — so per-device
+            # cost / per-device time / per-chip peak needs NO further
+            # division by n_dev (dividing again understated MFU n_dev-fold
+            # on multi-chip runs)
             peak_f, peak_b = peaks[gen]
-            mfu = float(cost["flops"]) / n_dev / (step_ms / 1e3) / peak_f
+            mfu = float(cost["flops"]) / (step_ms / 1e3) / peak_f
             if cost.get("bytes accessed"):
-                hbm_util = (float(cost["bytes accessed"]) / n_dev
+                hbm_util = (float(cost["bytes accessed"])
                             / (step_ms / 1e3) / peak_b)
     except Exception as e:  # cost analysis is best-effort telemetry
         print(f"[bench] cost_analysis unavailable: {e}", file=sys.stderr)

@@ -64,6 +64,28 @@ class ImsituEncoder:
             self._scan(train_set, verbose=verbose)
             self._build_tables()
 
+    @classmethod
+    def synthetic_full(cls, seed: int = 0) -> "ImsituEncoder":
+        """Full-size synthetic vocabulary — the exact real-imSitu model
+        shape (504 verbs / 190 roles / 2001 labels incl. '' and 'UNK' /
+        max 6 roles) without the dataset.  Single source of truth for the
+        benchmarks (bench.py, tools/bench_e2e.py): building the vocab by
+        sampling annotations instead silently shrinks the label list
+        (unsampled labels never enter it) and with it the nouns
+        classifier, making benches not apples-to-apples."""
+        enc = cls(None)
+        enc.verb_list = [f"v{i}" for i in range(504)]
+        enc.role_list = [f"r{i}" for i in range(190)]
+        enc.label_list = [""] + [f"n{i}" for i in range(1999)] + ["UNK"]
+        rng = np.random.default_rng(seed)
+        enc.roles_per_verb = {
+            v: [f"r{j}" for j in rng.choice(190, size=rng.integers(1, 7),
+                                            replace=False)]
+            for v in enc.verb_list}
+        enc.max_role_count = 6
+        enc._build_tables()
+        return enc
+
     # ------------------------------------------------------------------ scan
 
     def _scan(self, train_set: Mapping[str, dict], verbose: bool) -> None:

@@ -13,6 +13,7 @@ divergence; each loader is individually reproducible).
 
 from __future__ import annotations
 
+import os
 import ctypes
 from typing import Sequence, Tuple
 
@@ -65,11 +66,19 @@ def decode_window_batch(
     """→ (images (B,256,256,3) u8, flips (B,) bool, failed (B,) bool)."""
     lib = _load()
     n = len(paths)
+    if len(indices) != n:
+        # the C worker reads indices[i] for every path — a short buffer
+        # would be an out-of-bounds read (garbage RNG draws or a segfault)
+        raise ValueError(
+            f"decode_window_batch: {n} paths but {len(indices)} indices")
     images = np.empty((n, 256, 256, 3), dtype=np.uint8)
     flips = np.zeros((n,), dtype=np.uint8)
     failed = np.zeros((n,), dtype=np.uint8)
     idx = np.ascontiguousarray(np.asarray(indices, dtype=np.int64))
-    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    # os.fsencode, not str.encode: filenames are not guaranteed UTF-8
+    # (os.listdir surrogateescapes them) and one bad name must not abort
+    # the whole batch before the C call
+    c_paths = (ctypes.c_char_p * n)(*[os.fsencode(p) for p in paths])
     lib.srtpu_decode_window_batch(
         c_paths, n, int(train), seed & (2**64 - 1), epoch & (2**64 - 1),
         idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
