@@ -81,21 +81,23 @@ class GGNN(nn.Module):
         return ggnn_propagate_pallas(self._p, hidden, mask, self.num_steps,
                                      interpret)
 
+    @property
+    def _use_pallas(self) -> bool:
+        # remat trades recompute for activation memory in the BACKWARD,
+        # which the pallas custom VJP routes through plain (non-remat) XLA
+        # AD — so a remat request takes the masked path, where it is honored
+        return self.impl == "pallas" and not self.remat
+
     def propagate(self, hidden, mask):
         hidden = hidden.astype(self.dtype)
-        # remat trades recompute for activation memory in the BACKWARD, which
-        # the pallas custom VJP routes through plain (non-remat) XLA AD — so
-        # a remat request takes the masked path, where it is honored
-        if self.impl == "pallas" and not self.remat:
+        if self._use_pallas:
             return self._pallas(hidden, mask)
         return ggnn_propagate(self._p, hidden, mask, self.num_steps,
                               remat=self.remat)
 
     def propagate_verb(self, hidden):
         hidden = hidden.astype(self.dtype)
-        # same remat routing as propagate(): the pallas custom VJP cannot
-        # honor a remat request (its backward is plain XLA AD)
-        if self.impl == "pallas" and not self.remat:
+        if self._use_pallas:
             # single-node graphs: mask 0 makes every node self-message (n=p),
             # exactly the reference verb branch (model.py:62-64)
             out = self._pallas(hidden[:, None, :],

@@ -227,9 +227,9 @@ class Trainer:
                                          self._repl),
                     mu=jax.device_put(node.mu, self._head_sh),
                     nu=jax.device_put(node.nu, self._head_sh))
-            return jax.tree.map(
-                lambda leaf: jax.device_put(jnp.asarray(leaf), self._repl),
-                node)
+            # any other node reaching here is a plain array leaf (the
+            # is_leaf below only groups adamax states)
+            return jax.device_put(jnp.asarray(node), self._repl)
 
         return jax.tree.map(place, state,
                             is_leaf=lambda n: hasattr(n, "mu"))

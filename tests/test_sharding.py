@@ -83,6 +83,36 @@ def test_dp_matches_single_device(encoder):
     np.testing.assert_allclose(results[0], results[1], rtol=2e-4)
 
 
+def _losses_per_impl(encoder, step, seed):
+    """(masked, pallas) losses for one batch through the 8-device mesh.
+
+    batch 32 everywhere: the noun propagates must carry >= _MIN_ROWS (128)
+    rows or the kernel row-gate routes them to masked and the comparison
+    goes vacuous; hidden=128 because kernel_supported needs d % 128 == 0."""
+    batch = _batch(encoder, 32, seed=seed)
+    losses = {}
+    for impl in ("masked", "pallas"):
+        mesh = make_mesh()
+        cfg = TrainerConfig(hidden=128, batch_size=32, backbone="mini",
+                            compute_dtype=jnp.float32, seed=5,
+                            ggnn_impl=impl)
+        tr = Trainer(encoder, cfg, mesh=mesh)
+        arrays, valid, _ = tr._pad_batch(batch)
+        if step == "eval":
+            out = tr._eval_step(tr.head_params, tr.backbone_params,
+                                tr.backbone_stats, arrays["images"],
+                                arrays["verbs"], arrays["labels"], valid)
+            losses[impl] = [float(x) for x in out[0]]
+        else:
+            out = tr._train_step(tr.head_params, tr.opt_state,
+                                 tr.backbone_params, tr.backbone_stats,
+                                 jax.random.PRNGKey(0), arrays["images"],
+                                 arrays["flip"], arrays["verbs"],
+                                 arrays["labels"], valid)
+            losses[impl] = [float(x) for x in out[3]]
+    return losses
+
+
 def test_pallas_ggnn_matches_masked_under_dp_mesh(encoder):
     """ggnn_impl='pallas' must partition correctly over the 8-device data
     mesh: same batch, same seed, losses match the masked XLA path up to the
@@ -97,21 +127,7 @@ def test_pallas_ggnn_matches_masked_under_dp_mesh(encoder):
     from situation_recognition_tpu.ops.ggnn_pallas import kernel_supported
 
     assert kernel_supported(128, encoder.max_role_count)
-    # batch 32: the noun propagates must carry >= _MIN_ROWS (128) rows or
-    # the kernel row-gate routes them to masked and the test goes vacuous
-    batch = _batch(encoder, 32, seed=4)
-    losses = {}
-    for impl in ("masked", "pallas"):
-        mesh = make_mesh()
-        cfg = TrainerConfig(hidden=128, batch_size=32, backbone="mini",
-                            compute_dtype=jnp.float32, seed=5,
-                            ggnn_impl=impl)
-        tr = Trainer(encoder, cfg, mesh=mesh)
-        arrays, valid, _ = tr._pad_batch(batch)
-        out = tr._eval_step(tr.head_params, tr.backbone_params,
-                            tr.backbone_stats, arrays["images"],
-                            arrays["verbs"], arrays["labels"], valid)
-        losses[impl] = [float(x) for x in out[0]]
+    losses = _losses_per_impl(encoder, "eval", seed=4)
     np.testing.assert_allclose(losses["pallas"], losses["masked"],
                                rtol=5e-3, atol=5e-3)
     # and the two impls must NOT be bit-identical — if they were, the
@@ -130,21 +146,7 @@ def test_pallas_kernel_engages_in_train_step_gt_branch(encoder):
     gt loss (the kernel's bf16 numerics) — if the gt branch ever slides
     back inside the grad closure, all three become identical and this
     fails."""
-    batch = _batch(encoder, 32, seed=6)
-    losses = {}
-    for impl in ("masked", "pallas"):
-        mesh = make_mesh()
-        cfg = TrainerConfig(hidden=128, batch_size=32, backbone="mini",
-                            compute_dtype=jnp.float32, seed=5,
-                            ggnn_impl=impl)
-        tr = Trainer(encoder, cfg, mesh=mesh)
-        arrays, valid, _ = tr._pad_batch(batch)
-        out = tr._train_step(tr.head_params, tr.opt_state,
-                             tr.backbone_params, tr.backbone_stats,
-                             jax.random.PRNGKey(0), arrays["images"],
-                             arrays["flip"], arrays["verbs"],
-                             arrays["labels"], valid)
-        losses[impl] = [float(x) for x in out[3]]
+    losses = _losses_per_impl(encoder, "train", seed=6)
     def rel(i):
         return abs(losses["pallas"][i] - losses["masked"][i]) / max(
             abs(losses["masked"][i]), 1e-9)
