@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import optax
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 
 def make_shardmap_train_step(trainer):
@@ -110,7 +110,7 @@ def make_shardmap_train_step(trainer):
         in_specs=(P(), P(), P(), P(), P(),
                   P("data"), P("data"), P("data"), P("data"), P("data")),
         out_specs=(P(), P(), P(), P(), (P("data"), P("data"), P("data"))),
-        check_rep=False,
+        check_vma=False,
     )
     def train_step(head_params, opt_state, backbone_params, backbone_stats,
                    dropout_key, images, flip, verbs, labels, valid):

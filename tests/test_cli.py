@@ -10,6 +10,11 @@ import sys
 import numpy as np
 import pytest
 
+# Integration tier: every test here shells out / runs full epochs;
+# excluded from the fast unit tier (pytest -m 'not slow').
+pytestmark = pytest.mark.slow
+
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

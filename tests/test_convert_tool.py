@@ -12,6 +12,11 @@ import torch.nn as nn
 
 from tests.test_resnet import TorchResNet
 
+# Integration tier: every test here shells out / runs full epochs;
+# excluded from the fast unit tier (pytest -m 'not slow').
+pytestmark = pytest.mark.slow
+
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

@@ -12,6 +12,11 @@ import pytest
 from situation_recognition_tpu.data.dataset import ImsituDataset, ImsituLoader
 from situation_recognition_tpu.train import Trainer, TrainerConfig
 
+# Integration tier: every test here shells out / runs full epochs;
+# excluded from the fast unit tier (pytest -m 'not slow').
+pytestmark = pytest.mark.slow
+
+
 
 @pytest.fixture(scope="module")
 def img_dir(tmp_path_factory):

@@ -25,6 +25,11 @@ import sys
 import numpy as np
 import pytest
 
+# Integration tier: every test here shells out / runs full epochs;
+# excluded from the fast unit tier (pytest -m 'not slow').
+pytestmark = pytest.mark.slow
+
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden")
 REGEN = os.environ.get("SRTPU_REGEN_GOLDENS") == "1"

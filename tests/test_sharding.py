@@ -32,6 +32,7 @@ def test_make_mesh_shapes():
         make_mesh(num_devices=6, model=4)
 
 
+@pytest.mark.slow
 def test_dp_train_step_runs_on_8_devices(encoder):
     mesh = make_mesh()
     cfg = TrainerConfig(hidden=64, batch_size=16, backbone="mini",
@@ -48,6 +49,7 @@ def test_dp_train_step_runs_on_8_devices(encoder):
     assert all(np.isfinite(losses))
 
 
+@pytest.mark.slow
 def test_tp_classifier_kernel_sharded(encoder):
     mesh = make_mesh(model=2)
     cfg = TrainerConfig(hidden=64, batch_size=8, backbone="mini",
@@ -113,6 +115,7 @@ def _losses_per_impl(encoder, step, seed):
     return losses
 
 
+@pytest.mark.slow
 def test_pallas_ggnn_matches_masked_under_dp_mesh(encoder):
     """ggnn_impl='pallas' must partition correctly over the 8-device data
     mesh: same batch, same seed, losses match the masked XLA path up to the
@@ -137,6 +140,7 @@ def test_pallas_ggnn_matches_masked_under_dp_mesh(encoder):
         "path not exercised")
 
 
+@pytest.mark.slow
 def test_pallas_kernel_engages_in_train_step_gt_branch(encoder):
     """The train step hoists the gt noun branch outside the grad closure
     precisely so the fused kernel runs there (ops/ggnn_pallas.py routing

@@ -4,10 +4,16 @@ the jit/NamedSharding step."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from situation_recognition_tpu.parallel.mesh import make_mesh
 from situation_recognition_tpu.parallel.spmd import make_shardmap_train_step
 from situation_recognition_tpu.train import Trainer, TrainerConfig
+
+# Integration tier (~20 s/test: full shard_map train-step compiles over the
+# 8-device mesh); excluded from the fast unit tier (pytest -m 'not slow').
+pytestmark = pytest.mark.slow
+
 
 
 def _batch(encoder, B, seed=0):

@@ -45,6 +45,7 @@ def loaders(img_dir, encoder, overfitting_json):
     return train, dev
 
 
+@pytest.mark.slow
 def test_overfit_smoke(trainer, loaders):
     """BASELINE 'CPU smoke' config: loss must go down on the tiny fixture."""
     train_loader, _ = loaders
@@ -54,6 +55,7 @@ def test_overfit_smoke(trainer, loaders):
     assert last[0] + last[1] < first[0] + first[1], (first, last)
 
 
+@pytest.mark.slow
 def test_overfit_to_convergence(encoder, img_dir, overfitting_json):
     """Strong learning evidence (the closest accessible stand-in for the
     BASELINE accuracy target without the real dataset): the model must
@@ -94,6 +96,7 @@ def test_evaluate_output_format(trainer, loaders, capsys):
     assert len(top1) == 5 and len(top5) == 5
 
 
+@pytest.mark.slow
 def test_fit_one_epoch_stdout_and_checkpoint(encoder, loaders, tmp_path, capsys):
     cfg = TrainerConfig(hidden=64, batch_size=8, backbone="mini",
                         compute_dtype=jnp.float32, lr=0.01, epochs=1)
@@ -158,6 +161,7 @@ def test_optax_adamax_matches_torch():
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_mid_epoch_checkpoint_resume(encoder, loaders, tmp_path):
     """save_every_steps snapshots let a new trainer finish the epoch with
     the full dataset counted exactly once."""
@@ -207,6 +211,7 @@ def test_mid_epoch_checkpoint_resume(encoder, loaders, tmp_path):
     assert all(np.isfinite(losses))
 
 
+@pytest.mark.slow
 def test_frozen_bn_eval_stats_invariant(encoder, loaders):
     """--frozen_bn eval: a train step must not touch BN running stats and
     must normalize with them (train-mode stats change; eval-mode must not)."""
