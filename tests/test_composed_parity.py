@@ -173,6 +173,7 @@ def test_composed_gradients_match(encoder, ref_model, ours, batch):
     assert checked >= 18  # embeddings + 14 ggsnn tensors + classifiers
 
 
+@pytest.mark.slow
 def test_torch_resume_continues_adamax_trajectory(encoder, ref_model, batch,
                                                   tmp_path):
     """Save a mid-training torch checkpoint (3 Adamax steps), resume it
@@ -382,6 +383,150 @@ def test_lockstep_training_trajectory(encoder, ref_model, ours, batch):
             j = j.T
         np.testing.assert_allclose(j, t, rtol=2e-3, atol=2e-5,
                                    err_msg=f"{tname} after 8 steps")
+
+
+@pytest.mark.slow
+def test_lockstep_trajectory_train_mode_bn(encoder, ref_model, ours, batch):
+    """9 chained full steps with TRAIN-MODE BatchNorm on both sides — the
+    parity configuration's default path (the reference calls model.train()
+    over its frozen backbones, sr.py:52; ours is frozen_backbone_bn="train").
+
+    Exercises the one link the eval-BN lockstep test above cannot: the
+    batch-statistics normalization + running-stat EMA update path, chained
+    over optimization steps on CYCLING batches (so the EMAs actually move).
+    Three properties, in order of strictness:
+
+    1. per-step losses agree — train-mode BN normalizes with batch stats,
+       which are weight- and input-determined, so the twin-vs-shared
+       backbone distinction (DIVERGENCES #16) must NOT show up in training;
+    2. our single running-stat tree tracks torch's convnet_verbs tree
+       (same update count: once per step) up to conv numerics and the
+       biased/unbiased running-var divergence (#7, factor n/(n-1));
+    3. the eval-time drift induced by #16 (our one tree vs the reference's
+       twin trees, whose convnet_nouns member is EMA'd TWICE per step,
+       model.py:171-180) is measured and bounded.  Measured here (mini
+       backbone, 9 steps, randomized far-from-batch initial stats — a
+       worst case vs a converged checkpoint): isolated #16 noun-logit
+       drift ~0.1 max-abs on logits spanning ~[-3, 3]; verb logits, whose
+       branch has the SAME update count on both sides, agree ~1e-3.
+    """
+    import copy
+
+    import optax
+    import torch.nn as tnn
+
+    model = copy.deepcopy(ref_model)
+    model.train()  # train-mode BN everywhere, like the reference
+    for m in model.modules():  # ...but dropout off for determinism
+        if isinstance(m, tnn.Dropout):
+            m.eval()
+    trainable = [p for p in model.parameters() if p.requires_grad]
+    opt = torch.optim.Adamax(trainable, lr=0.002)
+
+    backbone, head, bparams, bstats, hp = ours
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamax(0.002))
+    opt_state = tx.init(hp)
+    L = encoder.get_num_labels()
+    role_ids = jnp.asarray(encoder.role_ids)
+    role_mask = jnp.asarray(encoder.role_mask)
+
+    # three distinct batches, cycled, so the EMAs integrate a varying signal
+    batches = []
+    rng = np.random.default_rng(23)
+    for _ in range(3):
+        imgs = rng.standard_normal((B, 224, 224, 3)).astype(np.float32)
+        vb = rng.integers(0, encoder.get_num_verbs(), B).astype(np.int64)
+        lab = rng.integers(0, L + 1, (B, 3, encoder.max_role_count))
+        lab[:, :, 0] = rng.integers(0, L, (B, 3))
+        batches.append((imgs, vb, lab.astype(np.int64)))
+
+    @jax.jit
+    def step(hp, opt_state, stats, images, verbs, labels):
+        feats, updates = backbone.apply(
+            {"params": bparams, "batch_stats": stats},
+            images, train=True, mutable=["batch_stats"])
+        feats = jax.lax.stop_gradient(feats.astype(jnp.float32))
+
+        def loss_fn(p):
+            j_verb, j_nouns, _ = head.apply(
+                {"params": p}, feats, verbs, role_ids, role_mask,
+                train=False)
+            return (verb_loss(j_verb, verbs) +
+                    nouns_loss(j_nouns, labels, L))
+
+        loss, grads = jax.value_and_grad(loss_fn)(hp)
+        up, opt_state = tx.update(grads, opt_state, hp)
+        return (optax.apply_updates(hp, up), opt_state,
+                updates["batch_stats"], loss)
+
+    stats = bstats
+    for i in range(9):
+        images, verbs, labels = batches[i % 3]
+        timg = torch.from_numpy(images.transpose(0, 3, 1, 2))
+        tv = torch.from_numpy(verbs)
+        tl = torch.from_numpy(labels)
+        opt.zero_grad()
+        pv, pn, _ = model(timg, tv)  # mutates BN EMAs: verbs 1x, nouns 2x
+        tloss = model.verb_loss(pv, tv) + model.nouns_loss(pn, tl)
+        tloss.backward()
+        torch.nn.utils.clip_grad_norm_(trainable, 1)
+        opt.step()
+        hp, opt_state, stats, jloss = step(
+            hp, opt_state, stats, jnp.asarray(images), jnp.asarray(verbs),
+            jnp.asarray(labels))
+        np.testing.assert_allclose(float(jloss), float(tloss.detach()),
+                                   rtol=3e-4, atol=3e-4,
+                                   err_msg=f"train-BN loss, step {i}")
+
+    # (2) our single stats tree tracks convnet_verbs' (one EMA per step on
+    # both sides).  running_var additionally carries divergence #7: each
+    # update mixes in the unbiased (torch) vs biased (flax) batch variance,
+    # factor n/(n-1) with n = B*H*W as small as 4*7*7 here.
+    tstate = {k: v.detach().numpy()
+              for k, v in model.convnet_verbs.model.state_dict().items()}
+    vparams, vstats = torch_convert.convert_resnet(
+        {k: np.asarray(v) for k, v in tstate.items()})
+    from flax import serialization
+    vstats = serialization.from_state_dict(stats, vstats)
+    for jleaf, tleaf in zip(jax.tree.leaves(stats), jax.tree.leaves(vstats)):
+        np.testing.assert_allclose(np.asarray(jleaf), np.asarray(tleaf),
+                                   rtol=2e-2, atol=2e-3)
+
+    # (3) eval-mode drift: ours (one tree) vs the reference (twin trees).
+    images, verbs, _ = batches[0]
+    model.eval()
+    with torch.no_grad():
+        t_verb, t_nouns, t_gt = model(
+            torch.from_numpy(images.transpose(0, 3, 1, 2)),
+            torch.from_numpy(verbs))
+    feats = backbone.apply({"params": bparams, "batch_stats": stats},
+                           jnp.asarray(images), train=False)
+    feats = jax.lax.stop_gradient(feats.astype(jnp.float32))
+    j_verb, j_nouns, j_gt = head.apply(
+        {"params": hp}, feats, jnp.asarray(verbs), role_ids, role_mask,
+        train=False)
+    # verb branch: same EMA count on both sides -> tight agreement
+    np.testing.assert_allclose(np.asarray(j_verb), t_verb.numpy(),
+                               rtol=5e-3, atol=5e-3, err_msg="verb eval")
+    # noun branches: bounded #16 drift (ours normalizes with the
+    # once-per-step tree; the reference with the twice-per-step one)
+    gt_drift = float(np.max(np.abs(np.asarray(j_gt) - t_gt.numpy())))
+    scale = float(np.max(np.abs(t_gt.numpy())))
+    assert gt_drift < 0.3 * max(scale, 1.0), (gt_drift, scale)
+
+    # isolated #16 on the torch side (no conv-numeric / #7 confounds):
+    # re-run eval with convnet_verbs' stat tree loaded into convnet_nouns
+    model2 = copy.deepcopy(model)
+    sd = model.convnet_verbs.model.state_dict()
+    model2.convnet_nouns.model.load_state_dict(sd)
+    with torch.no_grad():
+        _, _, t_gt_onetree = model2(
+            torch.from_numpy(images.transpose(0, 3, 1, 2)),
+            torch.from_numpy(verbs))
+    iso = float(np.max(np.abs(t_gt_onetree.numpy() - t_gt.numpy())))
+    assert iso < 0.3 * max(scale, 1.0), (iso, scale)
+    print(f"[#16] eval gt-noun-logit drift: ours-vs-twin {gt_drift:.4f}, "
+          f"isolated one-vs-two-tree {iso:.4f}, logit scale {scale:.2f}")
 
 
 def test_converter_accepts_trained_checkpoint_diverged_bn_stats(
