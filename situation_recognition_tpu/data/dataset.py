@@ -31,7 +31,8 @@ from typing import Dict, Iterator, List, Optional
 import numpy as np
 
 from situation_recognition_tpu.data.encoder import ImsituEncoder
-from situation_recognition_tpu.data.transforms import host_window
+from situation_recognition_tpu.data.transforms import (
+    CROP, WINDOW, host_window, host_window_exact)
 
 
 def _decode_image(path: str) -> np.ndarray:
@@ -45,10 +46,25 @@ class ImsituDataset:
     """Decoded-on-demand imSitu dataset with pre-encoded annotations."""
 
     def __init__(self, img_dir: str, annotations: Dict[str, dict],
-                 encoder: ImsituEncoder, train: bool):
+                 encoder: ImsituEncoder, train: bool,
+                 preproc: str = "window"):
+        """``preproc``: 'window' (default — 256² host window + device
+        resize) or 'exact' (eval only — reference-exact host
+        Resize(224)+CenterCrop(224), ``transforms.host_window_exact``;
+        the device resize is then an identity passthrough)."""
+        if preproc not in ("window", "exact"):
+            raise ValueError(f"unknown preproc {preproc!r}")
+        if preproc == "exact" and train:
+            raise ValueError(
+                "preproc='exact' is an eval/inference parity mode; the "
+                "train path keeps the device-resident window pipeline "
+                "(random crops are stochastic either way)")
         self.img_dir = img_dir
         self.encoder = encoder
         self.train = train
+        self.preproc = preproc
+        #: host-window side length batches are allocated at
+        self.window_size = CROP if preproc == "exact" else WINDOW
         self.names: List[str] = list(annotations.keys())
         n = len(self.names)
         self.verbs = np.zeros((n,), dtype=np.int32)
@@ -116,6 +132,8 @@ class ImsituDataset:
         return img
 
     def load_window(self, idx: int, rng: Optional[np.random.Generator]) -> np.ndarray:
+        if self.preproc == "exact":
+            return host_window_exact(self.load_image(idx))
         return host_window(self.load_image(idx), self.train, rng)
 
 
@@ -140,6 +158,8 @@ class ImsituLoader:
         self.epoch = 0
         if dataset.packed:
             decoder = "python"  # packed reads are memmap slices, no decode
+        elif dataset.preproc == "exact":
+            decoder = "python"  # the C++ decoder emits 256² windows only
         elif decoder == "auto":
             from situation_recognition_tpu.data import native_decoder
 
@@ -173,7 +193,8 @@ class ImsituLoader:
         if (self.decoder == "native" and ds._decoded_cache is None
                 and not ds.packed):
             return self._make_batch_native(indices)
-        images = np.empty((B, 256, 256, 3), dtype=np.uint8)
+        S = ds.window_size
+        images = np.empty((B, S, S, 3), dtype=np.uint8)
         flip = np.zeros((B,), dtype=bool)
         errors: List[BaseException] = []
 

@@ -99,6 +99,41 @@ def host_window(img: np.ndarray, train: bool, rng: np.random.Generator | None = 
     return img[oy:oy + WINDOW, ox:ox + WINDOW]
 
 
+def host_window_exact(img: np.ndarray) -> np.ndarray:
+    """Reference-exact EVAL window: shorter-side ``Resize(224)`` then
+    ``CenterCrop(224)`` with torchvision's literal geometry
+    (``/root/reference/utils/imsitu_encoder.py:31-36``), returning a
+    (224, 224, 3) uint8 image.
+
+    This is the ``--preproc exact`` escape hatch that kills DIVERGENCES #5
+    for metric-parity runs: the default path's crop-then-resize reordering
+    is within a few LSB on photographs but not bit-faithful; here the
+    resample order matches the reference exactly, and the device resize
+    becomes an identity passthrough (the 224→224 triangle-kernel matrix is
+    exactly I, asserted in tests/test_data_pipeline.py).
+
+    Geometry replicated from torchvision (no torchvision dependency):
+    ``Resize(int)`` maps the long side with ``int(size * long / short)``
+    (truncation) and skips resizing when the short side already equals
+    ``size``; ``CenterCrop`` uses ``int(round((dim - crop) / 2))`` —
+    Python banker's rounding at the .5 boundary.
+    """
+    from PIL import Image
+
+    pil = Image.fromarray(img)
+    w, h = pil.size
+    if not ((w <= h and w == CROP) or (h <= w and h == CROP)):
+        if w < h:
+            ow, oh = CROP, int(CROP * h / w)
+        else:
+            oh, ow = CROP, int(CROP * w / h)
+        pil = pil.resize((ow, oh), Image.BILINEAR)
+        w, h = pil.size
+    top = int(round((h - CROP) / 2.0))
+    left = int(round((w - CROP) / 2.0))
+    return np.asarray(pil)[top:top + CROP, left:left + CROP]
+
+
 def _center_offset(full: int) -> int:
     """Center-window offset along one axis, aligned to torchvision.
 

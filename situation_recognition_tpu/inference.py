@@ -24,7 +24,8 @@ from typing import Dict, List, Tuple
 
 import numpy as np
 
-from situation_recognition_tpu.data.transforms import host_window
+from situation_recognition_tpu.data.transforms import (
+    host_window, host_window_exact)
 
 
 def _softmax(x: np.ndarray, axis: int) -> np.ndarray:
@@ -47,8 +48,12 @@ def _role_label_dict(encoder, nouns_space, verbs_space, verb_name,
 
 
 def results(trainer, image: str, encoder, gt_verb: str,
+            preproc: str = "window",
             ) -> Tuple[str, float, Dict[str, str], List[float]]:
-    """Reference ``results`` (sr.py:235-281)."""
+    """Reference ``results`` (sr.py:235-281).  ``preproc='exact'`` swaps in
+    the reference-exact host Resize(224)+CenterCrop(224) window
+    (DIVERGENCES #5 escape hatch); the jitted inference path resizes by an
+    identity matrix for 224 inputs, so no recompile semantics change."""
     from PIL import Image
 
     with open(pjoin("imSitu", "imsitu_space.json"), "r") as f:
@@ -57,7 +62,10 @@ def results(trainer, image: str, encoder, gt_verb: str,
     verbs_space = imsitu_space["verbs"]
 
     img = np.asarray(Image.open(image).convert("RGB"))
-    window = host_window(img, train=False)[None]  # batch of 1
+    if preproc == "exact":
+        window = host_window_exact(img)[None]     # batch of 1
+    else:
+        window = host_window(img, train=False)[None]
 
     if gt_verb and encoder.verb_list.count(gt_verb):
         verb_id = encoder.verb_list.index(gt_verb)

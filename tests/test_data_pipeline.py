@@ -216,3 +216,84 @@ def test_packed_dataset_missing_image_rejected(img_dir, encoder,
     ds = ImsituDataset(img_dir, overfitting_json, encoder, train=False)
     with pytest.raises(ValueError, match="missing"):
         ds.enable_packed(str(out))
+
+
+# ---------------------------------------------------------- --preproc exact
+
+
+def test_host_window_exact_geometry_hand_derived(img_dir):
+    """host_window_exact must reproduce torchvision's literal geometry
+    (Resize(224): long side int(224*long/short) TRUNCATED, skip when the
+    short side already equals 224; CenterCrop: int(round(delta/2)) —
+    banker's at .5).  Expected crops below are HAND-DERIVED from those
+    formulas, not computed by the code under test."""
+    from situation_recognition_tpu.data.transforms import host_window_exact
+
+    rng = np.random.default_rng(5)
+    # (h, w) -> (oh, ow, top, left) hand-derived:
+    #  256x340: ow = int(224*340/256) = int(297.5) = 297 (truncation, not
+    #           298), left = int(round(36.5)) = 36 (banker's), top = 0
+    #  300x256: oh = int(224*300/256) = int(262.5) = 262, top = round(19)=19
+    #  224x300: short side already 224 -> NO resize; left = round(38) = 38
+    #  256x256: resize to 224x224, no crop
+    cases = [
+        ((256, 340), (224, 297, 0, 36)),
+        ((300, 256), (262, 224, 19, 0)),
+        ((224, 300), (224, 300, 0, 38)),
+        ((256, 256), (224, 224, 0, 0)),
+    ]
+    for (h, w), (oh, ow, top, left) in cases:
+        img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        got = host_window_exact(img)
+        assert got.shape == (224, 224, 3)
+        pil = Image.fromarray(img)
+        if (h, w) != (oh, ow):
+            pil = pil.resize((ow, oh), Image.BILINEAR)
+        want = np.asarray(pil)[top:top + 224, left:left + 224]
+        np.testing.assert_array_equal(got, want,
+                                      err_msg=f"geometry for {(h, w)}")
+    # the no-resize case is a bit-identical slice of the ORIGINAL pixels
+    img = rng.integers(0, 255, (224, 300, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(host_window_exact(img),
+                                  img[:, 38:38 + 224])
+
+
+def test_exact_window_device_resize_is_identity():
+    """224→224 triangle-kernel resize matrix is exactly the identity, so
+    the jitted step's device resize is a passthrough for exact windows;
+    the normalize then matches torch's ToTensor+Normalize to float ulps."""
+    import torch
+
+    from situation_recognition_tpu.data.transforms import _resize_matrix
+
+    np.testing.assert_array_equal(_resize_matrix(224, 224), np.eye(224))
+
+    rng = np.random.default_rng(6)
+    w = rng.integers(0, 255, (2, 224, 224, 3), dtype=np.uint8)
+    got = np.asarray(device_transform(w))
+    want = (torch.from_numpy(w).float().div(255)
+            - torch.tensor(IMAGENET_MEAN)) / torch.tensor(IMAGENET_STD)
+    np.testing.assert_allclose(got, want.numpy(), rtol=0, atol=1e-6)
+
+
+def test_dataset_exact_mode(img_dir, encoder, overfitting_json):
+    from situation_recognition_tpu.data.transforms import host_window_exact
+
+    with pytest.raises(ValueError, match="eval"):
+        ImsituDataset(img_dir, overfitting_json, encoder, train=True,
+                      preproc="exact")
+    with pytest.raises(ValueError, match="preproc"):
+        ImsituDataset(img_dir, overfitting_json, encoder, train=False,
+                      preproc="nope")
+
+    ds = ImsituDataset(img_dir, overfitting_json, encoder, train=False,
+                       preproc="exact")
+    loader = ImsituLoader(ds, batch_size=5, shuffle=False)
+    assert loader.decoder == "python"  # native decoder emits 256² only
+    (batch,) = list(loader)
+    assert batch["images"].shape == (5, 224, 224, 3)
+    for slot, name in enumerate(batch["names"]):
+        img = np.asarray(Image.open(os.path.join(img_dir, name))
+                         .convert("RGB"))
+        np.testing.assert_array_equal(batch["images"][slot],
+                                      host_window_exact(img))
