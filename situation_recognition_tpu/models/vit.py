@@ -25,15 +25,20 @@ class MlpBlock(nn.Module):
     dim: int
     hidden: int
     dtype: Any = jnp.float32
+    quick_gelu: bool = False
 
     @nn.compact
     def __call__(self, x):
         x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
-        # exact GELU (torch nn.GELU default) — flax's default is the tanh
-        # approximation, which would diverge per-layer on converted torch
-        # weights.  Note: CLIP-trained ViTs use QuickGELU (x*sigmoid(1.702x));
-        # if a CLIP converter is ever added, make the activation a variant.
-        x = nn.gelu(x, approximate=False)
+        if self.quick_gelu:
+            # CLIP's QuickGELU: x * sigmoid(1.702 x) — converted CLIP
+            # weights diverge per-layer under either true GELU variant
+            x = x * nn.sigmoid(1.702 * x)
+        else:
+            # exact GELU (torch nn.GELU default) — flax's default is the
+            # tanh approximation, which would diverge per-layer on
+            # converted torchvision weights
+            x = nn.gelu(x, approximate=False)
         return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
 
 
@@ -42,27 +47,44 @@ class EncoderBlock(nn.Module):
     heads: int
     mlp_ratio: int = 4
     dtype: Any = jnp.float32
+    quick_gelu: bool = False
+    # torchvision ViTs build their LayerNorms with eps=1e-6; CLIP keeps
+    # torch's default 1e-5 — converted weights drift ~6e-3 under the wrong one
+    ln_eps: float = 1e-6
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        y = nn.LayerNorm(dtype=jnp.float32, name="ln1")(x)
+        y = nn.LayerNorm(epsilon=self.ln_eps, dtype=jnp.float32,
+                         name="ln1")(x)
         y = nn.MultiHeadDotProductAttention(
             num_heads=self.heads, dtype=self.dtype, name="attn")(y, y)
         x = x + y
-        y = nn.LayerNorm(dtype=jnp.float32, name="ln2")(x)
+        y = nn.LayerNorm(epsilon=self.ln_eps, dtype=jnp.float32,
+                         name="ln2")(x)
         y = MlpBlock(self.dim, self.dim * self.mlp_ratio,
-                     dtype=self.dtype, name="mlp")(y)
+                     dtype=self.dtype, quick_gelu=self.quick_gelu,
+                     name="mlp")(y)
         return x + y
 
 
 class ViT(nn.Module):
-    """Pre-LN ViT returning the final-LN CLS token as pooled features."""
+    """Pre-LN ViT returning the final-LN CLS token as pooled features.
+
+    ``clip_variant=True`` reproduces the CLIP visual tower's three
+    architectural deltas vs torchvision (weights convert via
+    ``torch_convert.convert_clip_vit``): bias-free patch conv, an ``ln_pre``
+    LayerNorm between position embedding and the encoder stack, and
+    QuickGELU MLP activations.  The CLS projection to CLIP's shared
+    embedding space is intentionally NOT part of the backbone — features
+    are the ``ln_post`` CLS token at full width, matching the head hidden.
+    """
 
     patch: int
     width: int
     depth: int
     heads: int
     dtype: Any = jnp.float32
+    clip_variant: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -70,6 +92,7 @@ class ViT(nn.Module):
         x = x.astype(self.dtype)
         x = nn.Conv(self.width, (self.patch, self.patch),
                     strides=(self.patch, self.patch), padding="VALID",
+                    use_bias=not self.clip_variant,
                     dtype=self.dtype, name="patch_embed")(x)
         x = x.reshape(B, -1, self.width)                    # (B, N, D)
         cls = self.param("cls_token", nn.initializers.zeros,
@@ -82,15 +105,28 @@ class ViT(nn.Module):
                          nn.initializers.normal(0.02),
                          (1, n_tokens, self.width))
         x = x + pos.astype(self.dtype)
+        ln_eps = 1e-5 if self.clip_variant else 1e-6
+        if self.clip_variant:
+            x = nn.LayerNorm(epsilon=ln_eps, dtype=jnp.float32,
+                             name="ln_pre")(x)
         for i in range(self.depth):
             x = EncoderBlock(self.width, self.heads, dtype=self.dtype,
+                             quick_gelu=self.clip_variant, ln_eps=ln_eps,
                              name=f"block{i}")(x, train=train)
-        x = nn.LayerNorm(dtype=jnp.float32, name="ln_final")(x)
+        x = nn.LayerNorm(epsilon=ln_eps, dtype=jnp.float32,
+                         name="ln_final")(x)
         return x[:, 0, :].astype(self.dtype)                # CLS token
 
 
 def vit_l14(dtype=jnp.float32) -> ViT:
     return ViT(patch=14, width=1024, depth=24, heads=16, dtype=dtype)
+
+
+def vit_l14_clip(dtype=jnp.float32) -> ViT:
+    """CLIP ViT-L/14 visual tower (the published ViT-L/14 checkpoints are
+    CLIP-trained; torchvision has no L/14)."""
+    return ViT(patch=14, width=1024, depth=24, heads=16, dtype=dtype,
+               clip_variant=True)
 
 
 def vit_b16(dtype=jnp.float32) -> ViT:
@@ -102,4 +138,5 @@ def vit_tiny(dtype=jnp.float32) -> ViT:
     return ViT(patch=32, width=64, depth=2, heads=2, dtype=dtype)
 
 
-VIT_WIDTHS = {"vit_l14": 1024, "vit_b16": 768, "vit_tiny": 64}
+VIT_WIDTHS = {"vit_l14": 1024, "vit_l14_clip": 1024, "vit_b16": 768,
+              "vit_tiny": 64}

@@ -41,7 +41,8 @@ from situation_recognition_tpu.data.transforms import device_transform
 from situation_recognition_tpu.metrics.scorer import ImsituScorer, mean_of_eight
 from situation_recognition_tpu.models.fcggnn import FCGGNNHead
 from situation_recognition_tpu.models.resnet import ResNet
-from situation_recognition_tpu.models.vit import VIT_WIDTHS, vit_b16, vit_l14, vit_tiny
+from situation_recognition_tpu.models.vit import (
+    VIT_WIDTHS, vit_b16, vit_l14, vit_l14_clip, vit_tiny)
 from situation_recognition_tpu.parallel.mesh import make_mesh
 from situation_recognition_tpu.utils.logging import StepTimer, format_dict
 
@@ -85,7 +86,8 @@ _RESNETS = {
     "resnet152": (3, 8, 36, 3),
     "mini": (1, 1, 1, 1),
 }
-_VITS = {"vit_l14": vit_l14, "vit_b16": vit_b16, "vit_tiny": vit_tiny}
+_VITS = {"vit_l14": vit_l14, "vit_l14_clip": vit_l14_clip,
+         "vit_b16": vit_b16, "vit_tiny": vit_tiny}
 
 
 def default_hidden(backbone: str) -> int:

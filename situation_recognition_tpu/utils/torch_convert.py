@@ -103,6 +103,157 @@ def convert_resnet(
     return params, stats
 
 
+def convert_vit(state: Mapping[str, np.ndarray],
+                num_heads: int) -> dict:
+    """torchvision VisionTransformer ``state_dict`` → params tree of
+    ``models/vit.py:ViT``.
+
+    Layout handled (torchvision ``vision_transformer.py``): ``class_token``,
+    ``conv_proj.*``, ``encoder.pos_embedding``,
+    ``encoder.layers.encoder_layer_{i}.{ln_1,self_attention,ln_2,mlp}``,
+    ``encoder.ln`` — with both MLP key spellings torchvision has shipped
+    (``mlp.linear_{1,2}`` and the Sequential ``mlp.{0,3}``).  ``heads.*``
+    (the classification head) is ignored: the backbone contract is pooled
+    CLS features (like the reference's fc-less ResNet, model.py:31).
+
+    Attention packing: torch ``in_proj_weight`` is (3D, D) packed q/k/v
+    rows with ``y = x @ W.T``; flax ``MultiHeadDotProductAttention`` keeps
+    per-projection DenseGeneral kernels (D, H, Dh) with bias (H, Dh), and
+    an out kernel (H, Dh, D).
+    """
+    params: dict = {}
+
+    def _get(*names):
+        for n in names:
+            if n in state:
+                return np.asarray(state[n])
+        raise KeyError(f"none of {names} in state dict")
+
+    D = int(np.asarray(state["class_token"]).shape[-1])
+    if D % num_heads:
+        raise ValueError(f"width {D} not divisible by {num_heads} heads")
+    Dh = D // num_heads
+
+    params["cls_token"] = np.asarray(state["class_token"])
+    params["pos_embed"] = np.asarray(state["encoder.pos_embedding"])
+    params["patch_embed"] = {
+        "kernel": _conv(np.asarray(state["conv_proj.weight"])),
+        "bias": np.asarray(state["conv_proj.bias"]),
+    }
+    params["ln_final"] = {"scale": _get("encoder.ln.weight"),
+                          "bias": _get("encoder.ln.bias")}
+
+    layer_re = re.compile(r"encoder\.layers\.encoder_layer_(\d+)\.ln_1\.weight$")
+    layers = sorted(int(m.group(1)) for k in state if (m := layer_re.match(k)))
+    if not layers:
+        raise ValueError("no encoder layers found (not a torchvision ViT?)")
+
+    for i in layers:
+        src = f"encoder.layers.encoder_layer_{i}"
+        blk: dict = {}
+        blk["ln1"] = {"scale": _get(f"{src}.ln_1.weight"),
+                      "bias": _get(f"{src}.ln_1.bias")}
+        blk["ln2"] = {"scale": _get(f"{src}.ln_2.weight"),
+                      "bias": _get(f"{src}.ln_2.bias")}
+        w = _get(f"{src}.self_attention.in_proj_weight")      # (3D, D)
+        b = _get(f"{src}.self_attention.in_proj_bias")        # (3D,)
+        attn: dict = {}
+        for j, name in enumerate(("query", "key", "value")):
+            wj = w[j * D:(j + 1) * D]                          # (D, D)
+            attn[name] = {
+                "kernel": _linear(wj).reshape(D, num_heads, Dh),
+                "bias": b[j * D:(j + 1) * D].reshape(num_heads, Dh),
+            }
+        wo = _get(f"{src}.self_attention.out_proj.weight")     # (D, D)
+        attn["out"] = {
+            "kernel": _linear(wo).reshape(num_heads, Dh, D),
+            "bias": _get(f"{src}.self_attention.out_proj.bias"),
+        }
+        blk["attn"] = attn
+        blk["mlp"] = {
+            "fc1": {"kernel": _linear(_get(f"{src}.mlp.linear_1.weight",
+                                           f"{src}.mlp.0.weight")),
+                    "bias": _get(f"{src}.mlp.linear_1.bias",
+                                 f"{src}.mlp.0.bias")},
+            "fc2": {"kernel": _linear(_get(f"{src}.mlp.linear_2.weight",
+                                           f"{src}.mlp.3.weight")),
+                    "bias": _get(f"{src}.mlp.linear_2.bias",
+                                 f"{src}.mlp.3.bias")},
+        }
+        params[f"block{i}"] = blk
+
+    return params
+
+
+def convert_clip_vit(state: Mapping[str, np.ndarray],
+                     num_heads: int) -> dict:
+    """CLIP visual-tower ``state_dict`` → params tree of ``models/vit.py:ViT``
+    built with ``clip_variant=True`` (ln_pre, bias-free patch conv,
+    QuickGELU — see models/vit.py).
+
+    Accepts keys with or without the ``visual.`` prefix (a full CLIP
+    checkpoint vs an extracted visual tower).  The final ``proj`` matrix
+    (CLS → shared embedding space) is NOT applied: the backbone contract
+    is the 1024-d (L/14) ``ln_post`` CLS features, matching the head
+    hidden width.
+    """
+    pre = "visual." if any(k.startswith("visual.") for k in state) else ""
+
+    def g(name):
+        return np.asarray(state[pre + name])
+
+    D = int(g("class_embedding").shape[-1])
+    if D % num_heads:
+        raise ValueError(f"width {D} not divisible by {num_heads} heads")
+    Dh = D // num_heads
+
+    params: dict = {
+        # CLIP keeps (D,) / (N, D); our module uses (1, 1, D) / (1, N, D)
+        "cls_token": g("class_embedding").reshape(1, 1, D),
+        "pos_embed": g("positional_embedding")[None],
+        "patch_embed": {"kernel": _conv(g("conv1.weight"))},   # no bias
+        "ln_pre": {"scale": g("ln_pre.weight"), "bias": g("ln_pre.bias")},
+        "ln_final": {"scale": g("ln_post.weight"), "bias": g("ln_post.bias")},
+    }
+
+    layer_re = re.compile(re.escape(pre)
+                          + r"transformer\.resblocks\.(\d+)\.ln_1\.weight$")
+    layers = sorted(int(m.group(1)) for k in state if (m := layer_re.match(k)))
+    if not layers:
+        raise ValueError("no resblocks found (not a CLIP visual tower?)")
+
+    for i in layers:
+        src = f"transformer.resblocks.{i}"
+        w = g(f"{src}.attn.in_proj_weight")
+        b = g(f"{src}.attn.in_proj_bias")
+        attn: dict = {}
+        for j, name in enumerate(("query", "key", "value")):
+            attn[name] = {
+                "kernel": _linear(w[j * D:(j + 1) * D]).reshape(D, num_heads, Dh),
+                "bias": b[j * D:(j + 1) * D].reshape(num_heads, Dh),
+            }
+        attn["out"] = {
+            "kernel": _linear(g(f"{src}.attn.out_proj.weight")
+                              ).reshape(num_heads, Dh, D),
+            "bias": g(f"{src}.attn.out_proj.bias"),
+        }
+        params[f"block{i}"] = {
+            "ln1": {"scale": g(f"{src}.ln_1.weight"),
+                    "bias": g(f"{src}.ln_1.bias")},
+            "ln2": {"scale": g(f"{src}.ln_2.weight"),
+                    "bias": g(f"{src}.ln_2.bias")},
+            "attn": attn,
+            "mlp": {
+                "fc1": {"kernel": _linear(g(f"{src}.mlp.c_fc.weight")),
+                        "bias": g(f"{src}.mlp.c_fc.bias")},
+                "fc2": {"kernel": _linear(g(f"{src}.mlp.c_proj.weight")),
+                        "bias": g(f"{src}.mlp.c_proj.bias")},
+            },
+        }
+
+    return params
+
+
 _GGSNN_NAMES = [
     ("w_p", "W_p"), ("w_z", "W_z"), ("u_z", "U_z"),
     ("w_r", "W_r"), ("u_r", "U_r"), ("w_h", "W_h"), ("u_h", "U_h"),

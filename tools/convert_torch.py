@@ -27,6 +27,9 @@ def main():
     ap.add_argument("mode", choices=["backbone", "checkpoint"])
     ap.add_argument("src", help="torch .pth/.pt file")
     ap.add_argument("dst", help="output path")
+    ap.add_argument("--heads", type=int, default=16,
+                    help="attention heads for ViT-flavor backbones "
+                         "(16 for ViT-L, 12 for ViT-B; ignored for ResNets)")
     args = ap.parse_args()
 
     import numpy as np
@@ -37,9 +40,15 @@ def main():
 
     if args.mode == "backbone":
         sd = torch_convert.load_torch_file(args.src)
-        prefix = "convnet_nouns.model." if any(
-            k.startswith("convnet_nouns.") for k in sd) else ""
-        params, stats = torch_convert.convert_resnet(sd, prefix=prefix)
+        # sniff the flavor: torchvision ViT / CLIP visual tower / ResNet
+        if "conv_proj.weight" in sd:
+            params, stats = torch_convert.convert_vit(sd, args.heads), {}
+        elif any(k.endswith("ln_pre.weight") for k in sd):
+            params, stats = torch_convert.convert_clip_vit(sd, args.heads), {}
+        else:
+            prefix = "convnet_nouns.model." if any(
+                k.startswith("convnet_nouns.") for k in sd) else ""
+            params, stats = torch_convert.convert_resnet(sd, prefix=prefix)
         with open(args.dst, "wb") as f:
             f.write(serialization.msgpack_serialize(
                 {"params": params, "batch_stats": stats}))
