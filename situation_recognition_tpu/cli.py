@@ -68,7 +68,8 @@ def build_parser() -> ArgumentParser:
     # --- TPU-native additions (not in the reference CLI) ---
     parser.add_argument('--backbone', type=str, default='resnet152',
                         choices=['resnet50', 'resnet101', 'resnet152', 'mini',
-                                 'vit_l14', 'vit_b16', 'vit_tiny'],
+                                 'vit_l14', 'vit_l14_clip', 'vit_b16',
+                                 'vit_tiny'],
                         help='Backbone architecture')
     parser.add_argument('--precision', type=str, default='auto',
                         choices=['auto', 'bf16', 'fp32'],
@@ -100,6 +101,14 @@ def build_parser() -> ArgumentParser:
                         help='Pre-decoded packed image store '
                              '(tools/pack_dataset.py); removes JPEG decode '
                              'from the input path entirely')
+    parser.add_argument('--preproc', type=str, default='window',
+                        choices=['window', 'exact'],
+                        help='Eval/inference preprocessing: "window" '
+                             '(default — 256 crop window + device resize) '
+                             'or "exact" (reference-exact host PIL '
+                             'Resize(224)+CenterCrop(224) for bit-faithful '
+                             'metric-parity runs; slower host path). '
+                             'Training always uses the window pipeline.')
     return parser
 
 
@@ -109,6 +118,9 @@ def _load_json(path):
 
 
 def _load_backbone(trainer, path: str) -> None:
+    """Load backbone weights from msgpack or a torch .pth/.pt, sniffing the
+    torch state-dict flavor: reference FCGGNN checkpoint, raw torchvision
+    ResNet, torchvision ViT, or a CLIP visual tower."""
     from flax import serialization
 
     from situation_recognition_tpu.utils import torch_convert
@@ -116,16 +128,40 @@ def _load_backbone(trainer, path: str) -> None:
     if path.endswith('.msgpack'):
         with open(path, 'rb') as f:
             state = serialization.msgpack_restore(f.read())
-        params, stats = state['params'], state['batch_stats']
+        params, stats = state['params'], state.get('batch_stats', {})
     else:
         sd = torch_convert.load_torch_file(path)
-        prefix = 'convnet_nouns.model.' if any(
-            k.startswith('convnet_nouns.') for k in sd) else ''
-        params, stats = torch_convert.convert_resnet(sd, prefix=prefix)
+        heads = getattr(trainer.backbone, 'heads', 0)
+        if 'conv_proj.weight' in sd:                       # torchvision ViT
+            params, stats = torch_convert.convert_vit(sd, heads), {}
+        elif any(k.endswith('ln_pre.weight') for k in sd):  # CLIP visual
+            params, stats = torch_convert.convert_clip_vit(sd, heads), {}
+        else:
+            prefix = 'convnet_nouns.model.' if any(
+                k.startswith('convnet_nouns.') for k in sd) else ''
+            params, stats = torch_convert.convert_resnet(sd, prefix=prefix)
     trainer.backbone_params = serialization.from_state_dict(
         trainer.backbone_params, params)
-    trainer.backbone_stats = serialization.from_state_dict(
-        trainer.backbone_stats, stats)
+    if stats:
+        trainer.backbone_stats = serialization.from_state_dict(
+            trainer.backbone_stats, stats)
+
+
+def _save_backbone_msgpack(trainer, path: str) -> None:
+    """Cache the trainer's (converted) backbone as the msgpack format
+    ``_load_backbone`` reads — same layout tools/convert_torch.py writes."""
+    import jax
+    import numpy as np
+    from flax import serialization
+
+    blob = serialization.msgpack_serialize(jax.tree.map(np.asarray, {
+        'params': serialization.to_state_dict(trainer.backbone_params),
+        'batch_stats': serialization.to_state_dict(trainer.backbone_stats),
+    }))
+    tmp = path + '.tmp'
+    with open(tmp, 'wb') as f:
+        f.write(blob)
+    os.replace(tmp, path)
 
 
 def _is_torch_checkpoint(path: str) -> bool:
@@ -273,11 +309,13 @@ def main(argv=None) -> None:
                                 shuffle=True, seed=args.seed,
                                 num_workers=args.num_workers)
     dev_set = _prepare(
-        ImsituDataset(args.imgset_dir, dev_json, encoder, train=False))
+        ImsituDataset(args.imgset_dir, dev_json, encoder, train=False,
+                      preproc=args.preproc))
     dev_loader = ImsituLoader(dev_set, batch_size=batch,
                               shuffle=False, num_workers=args.num_workers)
     test_set = _prepare(
-        ImsituDataset(args.imgset_dir, test_json, encoder, train=False))
+        ImsituDataset(args.imgset_dir, test_json, encoder, train=False,
+                      preproc=args.preproc))
     test_loader = ImsituLoader(test_set, batch_size=batch,
                                shuffle=True, seed=args.seed,
                                num_workers=args.num_workers)  # ref quirk
@@ -294,13 +332,28 @@ def main(argv=None) -> None:
     if args.backbone_ckpt:
         _load_backbone(trainer, args.backbone_ckpt)
     else:
-        default_bb = pjoin(args.saving_folder, 'backbone.msgpack')
-        if pisfile(default_bb):
+        # Pretrained-backbone bootstrap (reference behavior: torchvision
+        # `pretrained=True`, model.py:16 — always starts from pretrained
+        # features).  Zero-egress equivalent: pick up a user-dropped
+        # checkpoint at <saving_folder>/backbone.{msgpack,pth,pt} — a raw
+        # torchvision resnet152 .pth is auto-converted on first load and
+        # cached as backbone.msgpack so later runs skip the conversion.
+        default_bb = next(
+            (p for p in (pjoin(args.saving_folder, 'backbone' + ext)
+                         for ext in ('.msgpack', '.pth', '.pt'))
+             if pisfile(p)), None)
+        if default_bb is not None:
             _load_backbone(trainer, default_bb)
+            if not default_bb.endswith('.msgpack'):
+                cache = pjoin(args.saving_folder, 'backbone.msgpack')
+                _save_backbone_msgpack(trainer, cache)
+                print(f'[srtpu] converted {default_bb} -> {cache} '
+                      '(picked up automatically next run)', file=sys.stderr)
         elif not args.resume_model:
             # stderr: stdout stays byte-compatible with reference transcripts
-            print('[srtpu] no pretrained backbone found '
-                  '(use --backbone_ckpt or tools/convert_torch.py); '
+            print('[srtpu] no pretrained backbone found (drop a torchvision '
+                  f'.pth at {pjoin(args.saving_folder, "backbone.pth")}, or '
+                  'use --backbone_ckpt / tools/convert_torch.py); '
                   'training from random backbone weights', file=sys.stderr)
 
     if len(args.resume_model) > 1:
@@ -317,7 +370,8 @@ def main(argv=None) -> None:
         trainer.evaluate(test_loader, logging=True)
     elif args.test_img:
         verb, verb_prob, labels, labels_prob = results(
-            trainer, args.test_img, encoder, args.verb)
+            trainer, args.test_img, encoder, args.verb,
+            preproc=args.preproc)
         print('&' * 50)
         print('Analizing: ', args.test_img)
         from PIL import Image
