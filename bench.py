@@ -45,9 +45,13 @@ def main():
                               "resnet152" if on_tpu else "mini")
     # BENCH_MODE=eval times the fwd-only eval step (the fused pallas GGNN
     # runs on every propagate there); default times the full train step
+    # BENCH_MODE=serving times the LOADED export artifact (StableHLO via
+    # jax.export — serving.py) end-to-end: uint8 images in, verb + noun
+    # logits out, single device
     mode = os.environ.get("BENCH_MODE", "train")
-    if mode not in ("train", "eval"):
-        raise SystemExit(f"BENCH_MODE must be train|eval, got {mode!r}")
+    if mode not in ("train", "eval", "serving"):
+        raise SystemExit(
+            f"BENCH_MODE must be train|eval|serving, got {mode!r}")
     frozen_bn = os.environ.get("BENCH_FROZEN_BN", "train")
     if frozen_bn not in ("train", "eval"):
         raise SystemExit(
@@ -82,6 +86,41 @@ def main():
     arrays, valid, _ = trainer._pad_batch(batch_host)
     arrays = {k: jax.device_put(v, trainer._bsh) for k, v in arrays.items()}
     valid = jax.device_put(valid, trainer._bsh)
+
+    if mode == "serving":
+        import tempfile
+
+        from situation_recognition_tpu.serving import (
+            export_inference, load_inference)
+
+        art = tempfile.mkdtemp(prefix="srtpu_serving_")
+        export_inference(trainer, art, batch_size=batch)
+        fn = load_inference(art)
+        imgs = jax.device_put(batch_host["images"][:batch])
+        verbs = jax.device_put(batch_host["verbs"][:batch])
+        for _ in range(2):                       # warm both entries
+            out = fn(imgs)
+            float(np.asarray(out[1])[0])
+            gt = fn.gt(imgs, verbs)
+            float(np.asarray(gt)[0, 0, 0])
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            out = fn(imgs)
+        float(np.asarray(out[1])[0])
+        dt = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            gt = fn.gt(imgs, verbs)
+        float(np.asarray(gt)[0, 0, 0])
+        dt_gt = time.perf_counter() - t0
+        print(json.dumps({
+            "metric": "serving_images_per_sec_per_chip",
+            "value": round(batch * steps / dt, 2),
+            "unit": "img/s/chip",
+            "step_ms": round(dt / steps * 1e3, 2),
+            "gt_entry_step_ms": round(dt_gt / steps * 1e3, 2),
+        }))
+        return
 
     if mode == "eval":
         def step(i):

@@ -9,9 +9,15 @@ current model into a single serialized function
 
 with preprocessing, backbone (eval-mode BN), verb prediction, and
 argmax-verb-conditioned noun prediction baked in — weights embedded as
-constants, no Python model code needed at load time.  Artifacts are
-device-portable (serialized StableHLO via ``jax.export``): export on CPU,
-serve on TPU, or vice versa.
+constants, no Python model code needed at load time.  A second entry,
+``model_gt.stablehlo``, serves the reference's gt-verb-conditioned path
+(``--test_img --verb``, sr.py:249-261):
+
+    (images (B, 256, 256, 3) u8, verb_ids (B,) i32) → noun_logits (B, R, L)
+
+Artifacts are device-portable (serialized StableHLO via ``jax.export``):
+export on CPU, serve on TPU, or vice versa.  ``BENCH_MODE=serving
+python bench.py`` times the loaded artifact end-to-end.
 
 Batch size is fixed at export time (static shapes for TPU serving); export
 several batch sizes if needed.
@@ -27,7 +33,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-FORMAT_VERSION = 1
+# v2: adds the verb-conditioned entry (model_gt.stablehlo) + meta "entries"
+FORMAT_VERSION = 2
 
 
 def export_inference(trainer, path: str, batch_size: int = 1) -> None:
@@ -49,29 +56,51 @@ def export_inference(trainer, path: str, batch_size: int = 1) -> None:
     role_mask = trainer.role_mask
     dtype = trainer.config.compute_dtype
 
-    def serve(images_u8):
+    def _feats(images_u8):
         x = device_transform(images_u8, None, dtype=dtype)
-        feats = backbone.apply(bvars, x, train=False).astype(jnp.float32)
+        return backbone.apply(bvars, x, train=False).astype(jnp.float32)
+
+    def serve(images_u8):
+        feats = _feats(images_u8)
         verb_logits = head.apply(hparams, feats, method=head.predict_verb)
         verb_ids = jnp.argmax(verb_logits, axis=1)
         noun_logits = head.apply(hparams, feats, verb_ids, role_ids,
                                  role_mask, method=head.predict_nouns)
         return verb_logits, verb_ids, noun_logits
 
+    def serve_gt(images_u8, verb_ids):
+        # verb-conditioned entry: the reference's gt-verb path
+        # (`--test_img --verb`, /root/reference/sr.py:249-261)
+        feats = _feats(images_u8)
+        return head.apply(hparams, feats, verb_ids, role_ids, role_mask,
+                          method=head.predict_nouns)
+
     stub = jnp.zeros((batch_size, 256, 256, 3), jnp.uint8)
+    vstub = jnp.zeros((batch_size,), jnp.int32)
     # lower for BOTH platforms — export() without `platforms` records only
     # the exporting machine's backend and Exported.call() refuses to run
     # anywhere else, breaking the export-on-CPU/serve-on-TPU promise
     exported = jax.export.export(jax.jit(serve),
                                  platforms=["cpu", "tpu"])(stub)
+    exported_gt = jax.export.export(jax.jit(serve_gt),
+                                    platforms=["cpu", "tpu"])(stub, vstub)
 
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, "model.stablehlo"), "wb") as f:
         f.write(exported.serialize())
+    with open(os.path.join(path, "model_gt.stablehlo"), "wb") as f:
+        f.write(exported_gt.serialize())
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump({
             "format_version": FORMAT_VERSION,
             "batch_size": batch_size,
+            "entries": {
+                "argmax": {"file": "model.stablehlo",
+                           "signature": "images_u8 -> (verb_logits, "
+                                        "verb_ids, noun_logits)"},
+                "gt": {"file": "model_gt.stablehlo",
+                       "signature": "(images_u8, verb_ids) -> noun_logits"},
+            },
             "num_verbs": trainer.encoder.get_num_verbs(),
             "num_labels": trainer.encoder.get_num_labels(),
             "max_role_count": trainer.encoder.max_role_count,
@@ -81,7 +110,9 @@ def export_inference(trainer, path: str, batch_size: int = 1) -> None:
 
 
 def load_inference(path: str) -> Callable:
-    """Load an exported artifact → fn(images_u8) with attached ``meta``."""
+    """Load an exported artifact → fn(images_u8) with attached ``meta`` and
+    ``fn.gt(images_u8, verb_ids)`` (the verb-conditioned entry; present in
+    format_version >= 2 artifacts)."""
     with open(os.path.join(path, "model.stablehlo"), "rb") as f:
         exported = jax.export.deserialize(f.read())
     with open(os.path.join(path, "meta.json")) as f:
@@ -92,4 +123,15 @@ def load_inference(path: str) -> Callable:
         return exported.call(images_u8)
 
     fn.meta = meta
+    gt_path = os.path.join(path, "model_gt.stablehlo")
+    if os.path.isfile(gt_path):
+        with open(gt_path, "rb") as f:
+            exported_gt = jax.export.deserialize(f.read())
+
+        def gt(images_u8, verb_ids):
+            images_u8 = jnp.asarray(np.asarray(images_u8, dtype=np.uint8))
+            verb_ids = jnp.asarray(np.asarray(verb_ids, dtype=np.int32))
+            return exported_gt.call(images_u8, verb_ids)
+
+        fn.gt = gt
     return fn

@@ -33,6 +33,19 @@ def test_export_load_roundtrip(encoder, tmp_path):
     np.testing.assert_allclose(np.asarray(noun_logits), live_nouns,
                                rtol=1e-4, atol=1e-5)
 
+    # verb-conditioned entry (the reference's --test_img --verb path,
+    # sr.py:249-261): serves arbitrary given verbs, matches live inference
+    assert set(fn.meta["entries"]) == {"argmax", "gt"}
+    gt_verbs = rng.integers(0, encoder.get_num_verbs(), 2).astype(np.int32)
+    gt_logits = np.asarray(fn.gt(imgs, gt_verbs))
+    assert gt_logits.shape == (2, encoder.max_role_count,
+                               encoder.get_num_labels())
+    live_gt = np.asarray(tr.infer_nouns(imgs, gt_verbs))
+    np.testing.assert_allclose(gt_logits, live_gt, rtol=1e-4, atol=1e-5)
+    # conditioning actually matters: a different verb changes the logits
+    if int(gt_verbs[0]) != int(np.asarray(verb_ids)[0]):
+        assert not np.allclose(gt_logits[0], np.asarray(noun_logits)[0])
+
 
 def test_export_is_multi_platform(encoder, tmp_path):
     """The artifact must be lowered for BOTH cpu and tpu — export() without
