@@ -116,10 +116,37 @@ from jax.experimental.pallas import tpu as pltpu
 
 from situation_recognition_tpu.ops.ggnn import GGNNParams, ggnn_propagate
 
-# Weights + per-block working set must fit under this Mosaic VMEM budget.
+# Weights + per-block working set must fit under the Mosaic VMEM budget.
 # bm=576 at d=2048 measured: ~50 MB resident weights + <60 MB block buffers
-# and temporaries run under a 120 MB limit on v5e.
-_VMEM_LIMIT = 120 * 1024 * 1024
+# and temporaries run under a 120 MB limit on v5e.  v4+ cores expose
+# ~128 MB of VMEM; v2/v3 cores have 16 MB, where the weights-resident
+# design cannot hold d=2048 — _vmem_limit() detects the generation so
+# `auto` falls back to the masked path there instead of requesting an
+# infeasible vmem_limit_bytes and dying in Mosaic compilation.
+_VMEM_LIMIT_V4PLUS = 120 * 1024 * 1024
+_VMEM_LIMIT_LEGACY = 16 * 1024 * 1024
+
+
+@functools.lru_cache(maxsize=None)
+def _vmem_limit() -> int:
+    """Per-core VMEM budget for the resident-weight kernel, by detected TPU
+    generation (device_kind like 'TPU v5 lite'); non-TPU backends (tests,
+    interpret mode) get the v4+ budget so support logic is the same."""
+    import re
+
+    kind = ""
+    try:
+        devs = jax.devices()
+        if devs and devs[0].platform == "tpu":
+            kind = getattr(devs[0], "device_kind", "") or ""
+    except Exception:
+        pass
+    m = re.search(r"v(\d+)", kind)
+    if m and int(m.group(1)) < 4:
+        return _VMEM_LIMIT_LEGACY
+    return _VMEM_LIMIT_V4PLUS
+
+
 _BLOCK_BYTES_PER_ELEM = 28   # in/out double buffers + f32 gate temporaries
 # Below this many (B*R) rows the kernel is pointless (a sub-tile of MXU
 # work dominated by launch/fetch overhead) and degenerate tiny blocks were
@@ -224,7 +251,7 @@ def kernel_supported(d: int, r: int = 6) -> bool:
     has a feasible block size)."""
     return (d % 128 == 0 and
             _weight_bytes(d) + _block_footprint(_min_block(r), d)
-            <= _VMEM_LIMIT)
+            <= _vmem_limit())
 
 
 def _pick_bm(m: int, r: int, d: int) -> int:
@@ -239,7 +266,7 @@ def _pick_bm(m: int, r: int, d: int) -> int:
     unit = _min_block(r)
     if m <= unit:
         return m
-    budget = _VMEM_LIMIT - _weight_bytes(d)
+    budget = _vmem_limit() - _weight_bytes(d)
     cap = (min(576, m) // unit) * unit
     while cap > unit and _block_footprint(cap, d) > budget:
         cap -= unit
@@ -278,7 +305,7 @@ def ggnn_propagate_fused(params: GGNNParams, h, mask_rows, *, r: int,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m_padded, d), h.dtype),
         scratch_shapes=[pltpu.VMEM((bm, bm), jnp.bfloat16)],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_vmem_limit()),
         interpret=interpret,
     )(h, mask_rows, *weights)
 

@@ -141,16 +141,50 @@ def test_pallas_ggnn_matches_masked_under_dp_mesh(encoder):
 
 
 @pytest.mark.slow
-def test_pallas_kernel_engages_in_train_step_gt_branch(encoder):
+def test_pallas_kernel_engages_in_train_step_gt_branch(encoder, monkeypatch):
     """The train step hoists the gt noun branch outside the grad closure
     precisely so the fused kernel runs there (ops/ggnn_pallas.py routing
-    note).  Lock that in: with identical inputs/seed, 'pallas' vs 'masked'
-    train steps must produce bit-identical v/n losses (both differentiated
-    branches run masked math via the custom_vjp fwd rule) but a DIFFERENT
-    gt loss (the kernel's bf16 numerics) — if the gt branch ever slides
-    back inside the grad closure, all three become identical and this
-    fails."""
+    note).  Lock that in two independent ways:
+
+    1. STRUCTURAL: tracing the train step routes exactly ONE propagate
+       through the fused-kernel primal — the hoisted gt noun branch.  Both
+       differentiated branches take the custom_vjp fwd rule (masked math)
+       and the 1-node verb branch is row-gated to masked, so a count != 1
+       means the hoisting (or the routing) broke.
+    2. NUMERIC: with identical inputs/seed, 'pallas' vs 'masked' train
+       steps produce bit-identical v/n losses but a DIFFERENT gt loss (the
+       kernel's bf16 numerics) — if the gt branch ever slides back inside
+       the grad closure, all three become identical.
+    """
+    import situation_recognition_tpu.ops.ggnn_pallas as gp
+
+    calls = []
+    orig = gp._propagate_fwd_impl
+
+    def counting(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(gp, "_propagate_fwd_impl", counting)
+    mesh = make_mesh()
+    cfg = TrainerConfig(hidden=128, batch_size=32, backbone="mini",
+                        compute_dtype=jnp.float32, seed=5,
+                        ggnn_impl="pallas")
+    tr = Trainer(encoder, cfg, mesh=mesh)
+    batch = _batch(encoder, 32, seed=6)
+    arrays, valid, _ = tr._pad_batch(batch)
+    calls.clear()          # drop any head-init traces (row-gated anyway)
+    tr._train_step.lower(tr.head_params, tr.opt_state, tr.backbone_params,
+                         tr.backbone_stats, jax.random.PRNGKey(0),
+                         arrays["images"], arrays["flip"], arrays["verbs"],
+                         arrays["labels"], valid)
+    assert len(calls) == 1, (
+        f"{len(calls)} propagates traced through the fused-kernel primal; "
+        "expected exactly 1 (the hoisted gt noun branch)")
+    monkeypatch.setattr(gp, "_propagate_fwd_impl", orig)
+
     losses = _losses_per_impl(encoder, "train", seed=6)
+
     def rel(i):
         return abs(losses["pallas"][i] - losses["masked"][i]) / max(
             abs(losses["masked"][i]), 1e-9)
