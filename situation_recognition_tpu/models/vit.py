@@ -7,16 +7,22 @@ The head's hidden size equals the backbone feature width (1024 for ViT-L),
 mirroring how the reference ties D_hidden_state to its backbone's 2048-d
 features (model.py:90-101).
 
-TPU notes: seq len 257 (16x16 patches + CLS) at width 1024 — attention is
-tiny; plain jnp einsum attention lowers to well-fused XLA (no flash/CP
-machinery warranted, SURVEY §5g).  bf16 compute, fp32 params, LayerNorm in
-fp32 for stability.
+TPU notes: seq len 257 (16x16 patches + CLS) at width 1024.  bf16
+compute, fp32 params, LayerNorm in fp32 for stability.  On TPU at bf16
+the encoder block runs through fused Pallas kernels (``block_impl="auto"``
+→ ops/vit_pallas.py): XLA's layout assignment hands the 257-token
+residual stream a token-major layout that collapses the MLP matmul
+emitter to 8-lane tiles (8.4 ms for a 2.8 ms-at-peak matmul — measured,
+see PERF.md), and no jnp-level reformulation recovers it.  The kernels
+cut the block 18.3 -> 15.2 ms at the parity shape.  No flash/CP
+machinery beyond that is warranted at N=257 (SURVEY §5g).
 """
 
 from __future__ import annotations
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -51,20 +57,73 @@ class EncoderBlock(nn.Module):
     # torchvision ViTs build their LayerNorms with eps=1e-6; CLIP keeps
     # torch's default 1e-5 — converted weights drift ~6e-3 under the wrong one
     ln_eps: float = 1e-6
+    # auto | pallas | flax — auto resolves to the fused Pallas block
+    # kernels on TPU at bf16 for supported widths (see ops/vit_pallas.py
+    # for the measured XLA layout pathology they bypass: 18.3 ->
+    # 15.2 ms/block at the ViT-L/14 parity shape); everywhere else the
+    # plain flax composition runs.  `interpret` exercises the kernels on
+    # CPU for tests.
+    block_impl: str = "auto"
+    interpret: bool = False
+
+    def _use_pallas(self, x) -> bool:
+        if self.block_impl == "flax":
+            return False
+        from situation_recognition_tpu.ops.vit_pallas import (
+            fused_block_supported)
+        b, n, _ = x.shape
+        ok = (self.dtype == jnp.bfloat16
+              and fused_block_supported(self.dim, self.heads, n, b,
+                                        self.mlp_ratio))
+        if self.block_impl == "pallas":
+            return ok and (self.interpret
+                           or jax.default_backend() == "tpu")
+        return ok and jax.default_backend() == "tpu"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        y = nn.LayerNorm(epsilon=self.ln_eps, dtype=jnp.float32,
-                         name="ln1")(x)
-        y = nn.MultiHeadDotProductAttention(
-            num_heads=self.heads, dtype=self.dtype, name="attn")(y, y)
-        x = x + y
-        y = nn.LayerNorm(epsilon=self.ln_eps, dtype=jnp.float32,
-                         name="ln2")(x)
-        y = MlpBlock(self.dim, self.dim * self.mlp_ratio,
-                     dtype=self.dtype, quick_gelu=self.quick_gelu,
-                     name="mlp")(y)
-        return x + y
+        ln1 = nn.LayerNorm(epsilon=self.ln_eps, dtype=jnp.float32,
+                           name="ln1")
+        attn = nn.MultiHeadDotProductAttention(
+            num_heads=self.heads, dtype=self.dtype, name="attn")
+        ln2 = nn.LayerNorm(epsilon=self.ln_eps, dtype=jnp.float32,
+                           name="ln2")
+        mlp = MlpBlock(self.dim, self.dim * self.mlp_ratio,
+                       dtype=self.dtype, quick_gelu=self.quick_gelu,
+                       name="mlp")
+        y = ln1(x)
+        y = attn(y, y)
+        xa = x + y
+        mo = mlp(ln2(xa))
+        if not self._use_pallas(x):
+            return xa + mo
+        # Fused TPU path (ops/vit_pallas.py).  The flax calls above run
+        # solely to CREATE the parameter tree — keeping it byte-identical
+        # for the torchvision/CLIP converters and checkpoints — and their
+        # outputs feed nothing on this path, so XLA dead-code-eliminates
+        # the duplicated math from the compiled step (the step timings in
+        # PERF.md confirm only the kernels execute).
+        from situation_recognition_tpu.ops.vit_pallas import (
+            fused_encoder_block)
+        d = self.dim
+        p = self.variables["params"]
+        a = p["attn"]
+        return fused_encoder_block(
+            x,
+            a["query"]["kernel"].reshape(d, d),
+            a["query"]["bias"].reshape(d),
+            a["key"]["kernel"].reshape(d, d),
+            a["key"]["bias"].reshape(d),
+            a["value"]["kernel"].reshape(d, d),
+            a["value"]["bias"].reshape(d),
+            a["out"]["kernel"].reshape(d, d),
+            a["out"]["bias"],
+            p["ln1"]["scale"], p["ln1"]["bias"],
+            p["ln2"]["scale"], p["ln2"]["bias"],
+            p["mlp"]["fc1"]["kernel"], p["mlp"]["fc1"]["bias"],
+            p["mlp"]["fc2"]["kernel"], p["mlp"]["fc2"]["bias"],
+            heads=self.heads, eps=self.ln_eps,
+            quick_gelu=self.quick_gelu, interpret=self.interpret)
 
 
 class ViT(nn.Module):
@@ -85,6 +144,8 @@ class ViT(nn.Module):
     heads: int
     dtype: Any = jnp.float32
     clip_variant: bool = False
+    block_impl: str = "auto"       # auto | pallas | flax (EncoderBlock)
+    interpret: bool = False        # CPU interpret mode for kernel tests
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -112,6 +173,8 @@ class ViT(nn.Module):
         for i in range(self.depth):
             x = EncoderBlock(self.width, self.heads, dtype=self.dtype,
                              quick_gelu=self.clip_variant, ln_eps=ln_eps,
+                             block_impl=self.block_impl,
+                             interpret=self.interpret,
                              name=f"block{i}")(x, train=train)
         x = nn.LayerNorm(epsilon=ln_eps, dtype=jnp.float32,
                          name="ln_final")(x)

@@ -1,0 +1,338 @@
+"""Fused Pallas TPU kernels for the ViT encoder block (stretch backbone).
+
+Why these exist — a measured XLA pathology, not a guess.  At the ViT-L/14
+parity shape (batch 256, 257 tokens, width 1024, bf16) the per-block trace
+shows XLA spending 8.4 ms on the fc2 matmul fusion whose pure-MXU time is
+2.8 ms: layout assignment hands the residual stream a token-major
+``{2,0,1}`` layout (driven by the attention einsum consumers), which pushes
+the matmul emitter (``EmitAllBatchInSublanes``) into 8-lane output tiles
+with the 257-token dim in the iteration space.  The same fused
+matmul+residual+LN-stat pattern standalone — identical math, default
+layouts — runs 3.9 ms.  None of the JAX-level reformulations recover it
+(measured: ``optimization_barrier`` after the residuals ±0, explicit
+``(B,h,N,dh)`` transposes +1 ms, reshape-to-2D +6 ms of relayouts,
+token-count 264 +0.7, bf16 LN stats ±0); the emitter/layout choice is not
+reachable from JAX, as already established for the ResNet's 1x1 convs
+(PERF.md r4).  Pallas controls its own tiling, so the block escapes the
+emitter entirely.
+
+Three kernels per encoder block, all weights VMEM-resident (constant index
+maps — fetched once per grid, ~31 MB at width 1024):
+
+* ``_qkv_kernel``      — ln1 + the three Q/K/V projections, row-blocked
+                         over the flattened (B*N, D) token stream.
+                         Measured 2.28 ms = 92% MFU.
+* ``_attn_core_kernel``— per-example scores+softmax+context, one grid step
+                         per image, per-head 64-lane slices (Mosaic allows
+                         them).  Never materializes the (B, h, N, N)
+                         score tensor in HBM — the XLA core round-trips
+                         ~540 MB of scores per block.  Measured 6.6 ms vs
+                         XLA's ~8 (core fusions + forced relayouts).
+* ``_out_mlp_kernel``  — attention out-projection + residual + ln2 + fc1 +
+                         GELU + fc2 + residual, row-blocked.  Measured
+                         7.0 ms = 89% MFU (the XLA section it replaces
+                         traces at ~12 ms).
+
+Mosaic has no ``erf`` primitive, so exact GELU uses the Abramowitz-Stegun
+7.1.26 rational approximation (max error 1.5e-7 ≈ 50x below bf16
+resolution at the relevant scales); the CLIP variant's QuickGELU is plain
+``x*sigmoid(1.702x)``.  LayerNorm statistics are f32 in-kernel, matching
+the flax modules' ``dtype=float32`` LayerNorms.
+
+Routing mirrors ``ops/ggnn_pallas.py``: the public ``fused_encoder_block``
+carries a ``jax.custom_vjp`` whose primal runs the kernels and whose
+fwd/bwd rules run XLA AD over ``_reference_block`` (the same math in
+plain jnp).  The ViT backbone is frozen in every reference configuration
+(/root/reference/model.py:16,100-101 — the convnets are feature
+extractors), so the hot paths (train-step backbone forward, eval,
+serving) are all undifferentiated and take the kernels; a hypothetical
+fine-tuning path would transparently differentiate the reference math.
+
+Numerics: the kernels keep softmax and the LN/residual stream in f32
+(flax computes bf16 softmax under ``dtype=bfloat16``), so fused vs flax
+outputs agree to bf16 resolution, not bit-exactly — same contract as the
+GGNN kernel (max |diff| there 0.023; measured here ~1e-2 on unit-scale
+block outputs over 4 chained blocks).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from situation_recognition_tpu.ops.ggnn_pallas import _vmem_limit
+
+# Row-block for the qkv / out_mlp kernels.  256 measured best (2.28 /
+# 7.02 ms vs 512's 2.5 / 7.8 at the parity shape) and divides the token
+# stream exactly whenever the per-chip batch is a multiple of 256 (both
+# bench shapes: 256*257 and 768*257 rows).
+_BM = 256
+# Below this many tokens rows the kernels are launch-overhead dominated
+# and tiny Mosaic blocks risk the pathological-compile regime the GGNN
+# kernel documents; such shapes take the flax/XLA path.
+_MIN_ROWS = 1024
+
+
+def _weight_bytes(d: int, hid: int) -> int:
+    """Resident bf16 weights of the largest kernel (out_mlp: W_o, W_1,
+    W_2) plus its f32 bias rows — the binding VMEM term."""
+    return (d * d + d * hid + hid * d) * 2 + (3 * d + hid) * 4
+
+
+def _block_bytes(bm: int, d: int, hid: int) -> int:
+    """Per-block working set of out_mlp: in/out/ctx double buffers plus
+    the f32 hidden activation and LN temporaries."""
+    return 3 * 2 * bm * d * 2 + bm * hid * 4 + 4 * bm * d * 4
+
+
+def fused_block_supported(d: int, heads: int, n_tokens: int,
+                          batch: int, mlp_ratio: int = 4) -> bool:
+    """True when the fused block kernels can run this shape on TPU:
+    128-lane-aligned width, 64-aligned head dim (per-head lane slices),
+    enough rows to matter, and the resident weight set + one row block
+    under the device VMEM budget (same generation detection as the GGNN
+    kernel)."""
+    if d % 128 != 0 or heads <= 0 or d % heads != 0:
+        return False
+    if (d // heads) % 64 != 0:
+        return False
+    if batch * n_tokens < _MIN_ROWS:
+        return False
+    hid = d * mlp_ratio
+    return (_weight_bytes(d, hid) + _block_bytes(_BM, d, hid)
+            <= _vmem_limit())
+
+
+def _erf(x):
+    """Abramowitz-Stegun 7.1.26 — Mosaic lacks an erf primitive.  Max
+    error 1.5e-7, invisible at bf16 output resolution."""
+    s = jnp.sign(x)
+    a = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+                + t * (-1.453152027 + t * 1.061405429))))
+    return s * (1.0 - poly * jnp.exp(-a * a))
+
+
+def _ln_f32(x, g, b, eps):
+    """LayerNorm over the last axis in f32 (biased variance, rsqrt) —
+    the exact flax ``LayerNorm(dtype=float32)`` computation."""
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    xc = x - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    return xc * jax.lax.rsqrt(var + eps) * g + b
+
+
+def _gelu_exact_or_quick(h, quick_gelu: bool, erf):
+    if quick_gelu:
+        return h * jax.nn.sigmoid(1.702 * h)
+    return 0.5 * h * (1.0 + erf(h * (2.0 ** -0.5)))
+
+
+# --------------------------------------------------------------- kernels
+
+
+def _qkv_kernel(x_ref, g_ref, b_ref, wq_ref, bq_ref, wk_ref, bk_ref,
+                wv_ref, bv_ref, q_ref, k_ref, v_ref, *, eps: float):
+    """ln1 + Q/K/V projections for one (bm, D) row block."""
+    x = x_ref[:].astype(jnp.float32)
+    y = _ln_f32(x, g_ref[:], b_ref[:], eps).astype(jnp.bfloat16)
+    for w_ref, bias_ref, o_ref in ((wq_ref, bq_ref, q_ref),
+                                   (wk_ref, bk_ref, k_ref),
+                                   (wv_ref, bv_ref, v_ref)):
+        o = jnp.dot(y, w_ref[:], preferred_element_type=jnp.float32)
+        o_ref[:] = (o + bias_ref[:]).astype(o_ref.dtype)
+
+
+def _attn_core_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int,
+                      scale: float):
+    """Scores + f32 softmax + context for ONE example, all heads.
+
+    Per-head 64-lane slices; the (N, N) score matrix lives only in VMEM.
+    Measured alternatives at the parity shape all lose: head-pair masked
+    128-lane dots 6.10→ same class, CLS-row-on-VPU splits 8.1-9.0 ms
+    (misaligned/VPU-heavy), XLA core ~8 with its forced relayouts.
+    """
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    d = q.shape[-1]
+    dh = d // heads
+    for h in range(heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        s = jax.lax.dot_general(q[:, sl], k[:, sl],
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        p = jax.nn.softmax(s * scale, axis=-1).astype(jnp.bfloat16)
+        o_ref[0, :, sl] = jnp.dot(p, v[:, sl],
+                                  preferred_element_type=jnp.float32
+                                  ).astype(o_ref.dtype)
+
+
+def _out_mlp_kernel(x_ref, ctx_ref, wo_ref, bo_ref, g_ref, b_ref,
+                    w1_ref, b1_ref, w2_ref, b2_ref, out_ref, *,
+                    eps: float, quick_gelu: bool):
+    """out-projection + residual + ln2 + fc1 + GELU + fc2 + residual for
+    one (bm, D) row block; the residual stream stays f32 in-kernel."""
+    o = jnp.dot(ctx_ref[:], wo_ref[:], preferred_element_type=jnp.float32)
+    x = x_ref[:].astype(jnp.float32) + o + bo_ref[:]
+    y = _ln_f32(x, g_ref[:], b_ref[:], eps).astype(jnp.bfloat16)
+    h = jnp.dot(y, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[:]
+    h = _gelu_exact_or_quick(h, quick_gelu, _erf).astype(jnp.bfloat16)
+    o2 = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
+    out_ref[:] = (x + o2 + b2_ref[:]).astype(out_ref.dtype)
+
+
+def _wspec(a):
+    return pl.BlockSpec(a.shape, lambda i: tuple(0 for _ in a.shape),
+                        memory_space=pltpu.VMEM)
+
+
+def _row(a, d):
+    return a.reshape(1, -1).astype(jnp.float32) if a.ndim == 1 else a
+
+
+# ------------------------------------------------------------ fused impl
+
+
+def _fused_impl(x, wq, bq, wk, bk, wv, bv, wo, bo, g1, bb1, g2, bb2,
+                w1, b1, w2, b2, *, heads: int, eps: float,
+                quick_gelu: bool, interpret: bool):
+    b_, n_, d_ = x.shape
+    m = b_ * n_
+    bm = _BM if m % _BM == 0 or m > _BM else m
+    pad = (-m) % bm
+    x2 = x.reshape(m, d_)
+    if pad:
+        x2 = jnp.pad(x2, ((0, pad), (0, 0)))
+    mp = x2.shape[0]
+    vlim = _vmem_limit()
+    rowspec = pl.BlockSpec((bm, d_), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    f32row = lambda a: a.reshape(1, -1).astype(jnp.float32)
+    qargs = [f32row(g1), f32row(bb1),
+             wq.astype(jnp.bfloat16), f32row(bq),
+             wk.astype(jnp.bfloat16), f32row(bk),
+             wv.astype(jnp.bfloat16), f32row(bv)]
+    q2, k2, v2 = pl.pallas_call(
+        functools.partial(_qkv_kernel, eps=eps),
+        grid=(mp // bm,),
+        in_specs=[rowspec, *[_wspec(a) for a in qargs]],
+        out_specs=[rowspec] * 3,
+        out_shape=[jax.ShapeDtypeStruct((mp, d_), x.dtype)] * 3,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vlim),
+        interpret=interpret,
+    )(x2, *qargs)
+
+    bspec = pl.BlockSpec((1, n_, d_), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    scale = 1.0 / math.sqrt(d_ // heads)
+    ctx = pl.pallas_call(
+        functools.partial(_attn_core_kernel, heads=heads, scale=scale),
+        grid=(b_,),
+        in_specs=[bspec] * 3,
+        out_specs=bspec,
+        out_shape=jax.ShapeDtypeStruct((b_, n_, d_), x.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vlim),
+        interpret=interpret,
+    )(q2[:m].reshape(b_, n_, d_), k2[:m].reshape(b_, n_, d_),
+      v2[:m].reshape(b_, n_, d_))
+
+    ctx2 = ctx.reshape(m, d_)
+    if pad:
+        ctx2 = jnp.pad(ctx2, ((0, pad), (0, 0)))
+    oargs = [wo.astype(jnp.bfloat16), f32row(bo),
+             f32row(g2), f32row(bb2),
+             w1.astype(jnp.bfloat16), f32row(b1),
+             w2.astype(jnp.bfloat16), f32row(b2)]
+    out = pl.pallas_call(
+        functools.partial(_out_mlp_kernel, eps=eps, quick_gelu=quick_gelu),
+        grid=(mp // bm,),
+        in_specs=[rowspec, rowspec, *[_wspec(a) for a in oargs]],
+        out_specs=rowspec,
+        out_shape=jax.ShapeDtypeStruct((mp, d_), x.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vlim),
+        interpret=interpret,
+    )(x2, ctx2, *oargs)
+    return out[:m].reshape(b_, n_, d_)
+
+
+# ------------------------------------------------- reference (jnp) math
+
+
+def _reference_block(x, wq, bq, wk, bk, wv, bv, wo, bo, g1, bb1, g2, bb2,
+                     w1, b1, w2, b2, *, heads: int, eps: float,
+                     quick_gelu: bool):
+    """The encoder block in plain jnp — the differentiation target for
+    the custom VJP and the math the kernels are tested against.  Follows
+    the flax module composition (models/vit.py EncoderBlock): f32
+    LayerNorms, compute-dtype projections, f32 softmax, exact GELU."""
+    dtype = x.dtype
+    b_, n_, d_ = x.shape
+    dh = d_ // heads
+    y = _ln_f32(x.astype(jnp.float32), g1.astype(jnp.float32),
+                bb1.astype(jnp.float32), eps).astype(dtype)
+    q = (y @ wq.astype(dtype) + bq.astype(dtype)).reshape(b_, n_, heads, dh)
+    k = (y @ wk.astype(dtype) + bk.astype(dtype)).reshape(b_, n_, heads, dh)
+    v = (y @ wv.astype(dtype) + bv.astype(dtype)).reshape(b_, n_, heads, dh)
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
+    p = jax.nn.softmax(s * (1.0 / math.sqrt(dh)), axis=-1).astype(dtype)
+    ctx = jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(b_, n_, d_)
+    x = x + ctx @ wo.astype(dtype) + bo.astype(dtype)
+    y = _ln_f32(x.astype(jnp.float32), g2.astype(jnp.float32),
+                bb2.astype(jnp.float32), eps).astype(dtype)
+    h = y @ w1.astype(dtype) + b1.astype(dtype)
+    h = _gelu_exact_or_quick(h, quick_gelu, jax.lax.erf)
+    return x + h @ w2.astype(dtype) + b2.astype(dtype)
+
+
+# ---------------------------------------------------------- public VJP
+
+
+@functools.lru_cache(maxsize=None)
+def _make_fused_block(heads: int, eps: float, quick_gelu: bool,
+                      interpret: bool):
+    @jax.custom_vjp
+    def fused(x, *w):
+        return _fused_impl(x, *w, heads=heads, eps=eps,
+                           quick_gelu=quick_gelu, interpret=interpret)
+
+    def fwd(x, *w):
+        out, vjp = jax.vjp(
+            lambda x, *w: _reference_block(x, *w, heads=heads, eps=eps,
+                                           quick_gelu=quick_gelu), x, *w)
+        return out, vjp
+
+    def bwd(vjp, ct):
+        return vjp(ct)
+
+    fused.defvjp(fwd, bwd)
+    return fused
+
+
+def fused_encoder_block(x, wq, bq, wk, bk, wv, bv, wo, bo, g1, bb1,
+                        g2, bb2, w1, b1, w2, b2, *, heads: int,
+                        eps: float, quick_gelu: bool = False,
+                        interpret: bool = False):
+    """One ViT encoder block through the fused Pallas kernels.
+
+    ``x`` (B, N, D); projection weights pre-flattened to 2D with
+    head-major columns/rows (``kernel.reshape(D, D)`` of the flax
+    ``DenseGeneral`` (D, h, dh) tree — column h*dh+j is head h dim j,
+    which is exactly the per-head lane slice the core kernel takes).
+
+    Undifferentiated calls run the kernels; under ``jax.grad`` the
+    custom-VJP fwd rule routes to :func:`_reference_block` (plain XLA AD)
+    — the same forward-only-kernel contract as the GGNN (its module
+    docstring documents why; the frozen ViT backbone never
+    backpropagates in any reference configuration).
+    """
+    return _make_fused_block(heads, float(eps), bool(quick_gelu),
+                             bool(interpret))(
+        x, wq, bq, wk, bk, wv, bv, wo, bo, g1, bb1, g2, bb2,
+        w1, b1, w2, b2)
