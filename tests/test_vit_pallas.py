@@ -131,6 +131,112 @@ def test_encoder_block_module_fused_path_interpret():
     assert diff <= 0.03 * max(scale, 1.0), (diff, scale)
 
 
+def test_vit_module_fused_trace_count(monkeypatch):
+    """STRUCTURAL: applying a depth-2 ViT on the fused path routes exactly
+    2 calls through the kernel primal; under jax.grad, 0 (the custom_vjp
+    fwd rule replaces every call with the reference math) — the same
+    trace-count contract as the GGNN kernel
+    (tests/test_sharding.py::test_pallas_kernel_engages_in_train_step_gt_branch)."""
+    import situation_recognition_tpu.ops.vit_pallas as vp
+    from situation_recognition_tpu.models.vit import ViT
+
+    calls = []
+    orig = vp._fused_impl
+
+    def counting(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(vp, "_fused_impl", counting)
+    # 16x16 images, patch 4 -> 17 tokens; B=64 -> 1088 rows >= _MIN_ROWS
+    model = ViT(patch=4, width=D, depth=2, heads=HEADS,
+                dtype=jnp.bfloat16, block_impl="pallas", interpret=True)
+    x = jnp.asarray(np.random.default_rng(5).standard_normal(
+        (64, 16, 16, 3)), dtype=jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), x)
+    calls.clear()
+    model.apply(v, x)
+    assert len(calls) == 2, (
+        f"{len(calls)} fused-block primals traced; expected 2 (depth)")
+
+    calls.clear()
+    jax.grad(lambda xx: jnp.sum(model.apply(v, xx).astype(jnp.float32)))(x)
+    assert len(calls) == 0, (
+        f"{len(calls)} fused-block primals traced under jax.grad; the "
+        "custom_vjp fwd rule must route every differentiated call to the "
+        "reference math")
+
+
+@pytest.mark.slow
+def test_vit_fused_engages_in_trainer_steps(monkeypatch, encoder):
+    """STRUCTURAL: with a fused-path ViT backbone, tracing the jitted
+    train step routes exactly `depth` calls through the kernel primal —
+    the backbone forward is hoisted OUTSIDE the grad closure
+    (train.py Trainer._features docstring), so its blocks keep the fused
+    primal.  If the backbone ever slides inside loss_fn, the custom_vjp
+    fwd rule silently reroutes every block to the reference math on TPU
+    (a pure perf regression no numeric test would catch) and this count
+    drops to 0."""
+    import situation_recognition_tpu.ops.vit_pallas as vp
+    import situation_recognition_tpu.train as train_mod
+    from situation_recognition_tpu.models.vit import VIT_WIDTHS, ViT
+    from situation_recognition_tpu.parallel.mesh import make_mesh
+    from situation_recognition_tpu.train import Trainer, TrainerConfig
+
+    DEPTH = 2
+
+    def vit128(dtype=jnp.bfloat16):
+        # patch 32 on the 224 crop -> 50 tokens; B=24 -> 1200 rows
+        return ViT(patch=32, width=D, depth=DEPTH, heads=HEADS,
+                   dtype=dtype, block_impl="pallas", interpret=True)
+
+    monkeypatch.setitem(train_mod._VITS, "vit_tiny", vit128)
+    monkeypatch.setitem(VIT_WIDTHS, "vit_tiny", D)
+
+    calls = []
+    orig = vp._fused_impl
+
+    def counting(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(vp, "_fused_impl", counting)
+    cfg = TrainerConfig(hidden=D, batch_size=24, backbone="vit_tiny",
+                        compute_dtype=jnp.bfloat16, ggnn_impl="masked",
+                        seed=7)
+    tr = Trainer(encoder, cfg, mesh=make_mesh())
+    B = 24
+    rng = np.random.default_rng(8)
+    batch = {
+        "images": rng.integers(0, 255, (B, 256, 256, 3), dtype=np.uint8),
+        "flip": np.zeros((B,), bool),
+        "verbs": rng.integers(0, encoder.get_num_verbs(), B).astype(np.int32),
+        "labels": rng.integers(
+            0, encoder.get_num_labels(),
+            (B, 3, encoder.max_role_count)).astype(np.int32),
+        "names": ["x"] * B,
+    }
+    arrays, valid, _ = tr._pad_batch(batch)
+
+    calls.clear()
+    tr._train_step.lower(tr.head_params, tr.opt_state, tr.backbone_params,
+                         tr.backbone_stats, jax.random.PRNGKey(0),
+                         arrays["images"], arrays["flip"], arrays["verbs"],
+                         arrays["labels"], valid)
+    assert len(calls) == DEPTH, (
+        f"{len(calls)} fused-block primals traced in the train step; "
+        f"expected {DEPTH} (one per encoder block, backbone hoisted "
+        "outside the grad closure)")
+
+    calls.clear()
+    tr._eval_step.lower(tr.head_params, tr.backbone_params,
+                        tr.backbone_stats, arrays["images"],
+                        arrays["verbs"], arrays["labels"], valid)
+    assert len(calls) == DEPTH, (
+        f"{len(calls)} fused-block primals traced in the eval step; "
+        f"expected {DEPTH}")
+
+
 def test_encoder_block_auto_is_flax_on_cpu():
     """auto resolves to the flax path off-TPU: outputs are bit-identical
     to block_impl='flax' (no kernels, no numeric drift)."""
