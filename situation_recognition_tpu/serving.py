@@ -118,20 +118,32 @@ def load_inference(path: str) -> Callable:
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
 
+    call = jax.jit(exported.call)
+
     def fn(images_u8):
-        images_u8 = jnp.asarray(np.asarray(images_u8, dtype=np.uint8))
-        return exported.call(images_u8)
+        return call(_coerce(images_u8, np.uint8))
 
     fn.meta = meta
     gt_path = os.path.join(path, "model_gt.stablehlo")
     if os.path.isfile(gt_path):
         with open(gt_path, "rb") as f:
             exported_gt = jax.export.deserialize(f.read())
+        call_gt = jax.jit(exported_gt.call)
 
         def gt(images_u8, verb_ids):
-            images_u8 = jnp.asarray(np.asarray(images_u8, dtype=np.uint8))
-            verb_ids = jnp.asarray(np.asarray(verb_ids, dtype=np.int32))
-            return exported_gt.call(images_u8, verb_ids)
+            return call_gt(_coerce(images_u8, np.uint8),
+                           _coerce(verb_ids, np.int32))
 
         fn.gt = gt
     return fn
+
+
+def _coerce(x, dtype):
+    """Convert host inputs (lists, PIL-derived arrays) to the expected
+    dtype WITHOUT touching device-resident arrays: an unconditional
+    ``np.asarray`` here would silently round-trip every already-on-device
+    batch through host memory (measured 4.75 s/call for a 151 MB batch on
+    a network-attached TPU vs ~150 ms compute)."""
+    if isinstance(x, jax.Array):
+        return x if x.dtype == dtype else x.astype(dtype)
+    return jnp.asarray(np.asarray(x, dtype=dtype))
