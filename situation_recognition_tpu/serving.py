@@ -21,6 +21,13 @@ python bench.py`` times the loaded artifact end-to-end.
 
 Batch size is fixed at export time (static shapes for TPU serving); export
 several batch sizes if needed.
+
+Artifact size scales with the model (weights are constants): ~240 MB for
+the ResNet-152 parity model, ~620 MB for ViT-L/14.  On the development
+rig the ViT artifact exports and loads but its first compile trips the
+axon remote-compiler's request-size limit (HTTP 413) — an infrastructure
+cap of the tunnel, not a property of the artifact; production TPU hosts
+compile locally.
 """
 
 from __future__ import annotations
@@ -48,6 +55,13 @@ def export_inference(trainer, path: str, batch_size: int = 1) -> None:
         # mathematically identical masked-sum path (same params)
         head = head.clone(ggnn_impl="masked")
     backbone = trainer.backbone
+    if getattr(backbone, "block_impl", "flax") != "flax":
+        # same portability rule for the ViT's fused encoder-block kernels
+        # (ops/vit_pallas.py): exporting on TPU would otherwise trace
+        # Mosaic custom calls into the multi-platform artifact, which
+        # fails to lower for the "cpu" platform (measured: ValueError
+        # "Only interpret mode is supported on CPU backend")
+        backbone = backbone.clone(block_impl="flax")
     bvars = {"params": jax.device_get(trainer.backbone_params)}
     if trainer._backbone_has_bn:
         bvars["batch_stats"] = jax.device_get(trainer.backbone_stats)

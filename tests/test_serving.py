@@ -65,3 +65,46 @@ def test_export_is_multi_platform(encoder, tmp_path):
     with open(os.path.join(path, "model.stablehlo"), "rb") as f:
         exported = jax.export.deserialize(f.read())
     assert set(p.lower() for p in exported.platforms) == {"cpu", "tpu"}
+
+
+def test_export_vit_pallas_backbone_is_portable(encoder, tmp_path,
+                                                monkeypatch):
+    """A ViT backbone on the fused Pallas block path must export portably:
+    the serving path clones it to block_impl='flax' exactly like it swaps
+    the fused GGNN for masked.  Without the clone, exporting on TPU traces
+    Mosaic custom calls into the cpu+tpu artifact and jax.export fails
+    with 'Only interpret mode is supported on CPU backend' (measured on
+    the real chip).  Reproduced here by forcing the backend gate to
+    'tpu' during export only."""
+    import os
+
+    import jax
+
+    import situation_recognition_tpu.train as train_mod
+    from situation_recognition_tpu.models.vit import VIT_WIDTHS, ViT
+
+    def vit128(dtype=jnp.bfloat16):
+        return ViT(patch=32, width=128, depth=2, heads=2, dtype=dtype,
+                   block_impl="pallas")
+
+    monkeypatch.setitem(train_mod._VITS, "vit_tiny", vit128)
+    monkeypatch.setitem(VIT_WIDTHS, "vit_tiny", 128)
+    cfg = TrainerConfig(hidden=128, batch_size=24, backbone="vit_tiny",
+                        compute_dtype=jnp.bfloat16, ggnn_impl="masked")
+    tr = Trainer(encoder, cfg)
+    path = str(tmp_path / "artifact_vit")
+    # batch 24 x 50 tokens = 1200 rows >= the fused gate's minimum, so
+    # with default_backend()=='tpu' the un-cloned backbone WOULD take the
+    # kernel path at trace time
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    export_inference(tr, path, batch_size=24)
+    monkeypatch.undo()
+
+    fn = load_inference(path)
+    rng = np.random.default_rng(1)
+    imgs = rng.integers(0, 255, (24, 256, 256, 3), dtype=np.uint8)
+    verb_logits, verb_ids, noun_logits = fn(imgs)
+    assert np.all(np.isfinite(np.asarray(verb_logits, np.float32)))
+    with open(os.path.join(path, "model.stablehlo"), "rb") as f:
+        exported = jax.export.deserialize(f.read())
+    assert set(p.lower() for p in exported.platforms) == {"cpu", "tpu"}
