@@ -67,6 +67,10 @@ class EncoderBlock(nn.Module):
     interpret: bool = False
 
     def _use_pallas(self, x) -> bool:
+        if self.block_impl not in ("auto", "pallas", "flax"):
+            raise ValueError(
+                f"block_impl must be auto|pallas|flax, got "
+                f"{self.block_impl!r}")
         if self.block_impl == "flax":
             return False
         from situation_recognition_tpu.ops.vit_pallas import (
@@ -91,18 +95,18 @@ class EncoderBlock(nn.Module):
         mlp = MlpBlock(self.dim, self.dim * self.mlp_ratio,
                        dtype=self.dtype, quick_gelu=self.quick_gelu,
                        name="mlp")
-        y = ln1(x)
-        y = attn(y, y)
-        xa = x + y
-        mo = mlp(ln2(xa))
-        if not self._use_pallas(x):
-            return xa + mo
-        # Fused TPU path (ops/vit_pallas.py).  The flax calls above run
-        # solely to CREATE the parameter tree — keeping it byte-identical
-        # for the torchvision/CLIP converters and checkpoints — and their
-        # outputs feed nothing on this path, so XLA dead-code-eliminates
-        # the duplicated math from the compiled step (the step timings in
-        # PERF.md confirm only the kernels execute).
+        # init ALWAYS runs the flax composition: the submodule calls
+        # create the parameter tree (byte-identical for the
+        # torchvision/CLIP converters and checkpoints) and the fused path
+        # below needs no module calls at apply time — it reads
+        # self.variables directly, so the kernels never pay the dead
+        # flax compute and nothing relies on XLA DCE
+        if self.is_initializing() or not self._use_pallas(x):
+            y = ln1(x)
+            y = attn(y, y)
+            xa = x + y
+            return xa + mlp(ln2(xa))
+        # Fused TPU path (ops/vit_pallas.py)
         from situation_recognition_tpu.ops.vit_pallas import (
             fused_encoder_block)
         d = self.dim

@@ -90,13 +90,25 @@ def _block_bytes(bm: int, d: int, hid: int) -> int:
     return 3 * 2 * bm * d * 2 + bm * hid * 4 + 4 * bm * d * 4
 
 
+def _attn_bytes(n: int, d: int) -> int:
+    """Attention-core working set, which scales with the TOKEN count:
+    four double-buffered (1, n, d) bf16 blocks (q/k/v in, ctx out) plus
+    one live per-head f32 score matrix with its bf16 softmax and
+    scheduling slack.  Without this term large-n shapes (high-res
+    patchifications) would pass the gate yet fail Mosaic compilation —
+    the gate and the kernels MUST agree, as ops/ggnn_pallas.py's
+    kernel_supported/_pick_bm contract states."""
+    return 4 * 2 * n * d * 2 + int(2.5 * n * n * 4)
+
+
 def fused_block_supported(d: int, heads: int, n_tokens: int,
                           batch: int, mlp_ratio: int = 4) -> bool:
     """True when the fused block kernels can run this shape on TPU:
     128-lane-aligned width, 64-aligned head dim (per-head lane slices),
-    enough rows to matter, and the resident weight set + one row block
-    under the device VMEM budget (same generation detection as the GGNN
-    kernel)."""
+    enough rows to matter, and each kernel's VMEM requirement (resident
+    weights + row block for qkv/out_mlp; token-count-scaled blocks +
+    score matrix for the attention core) under the device budget (same
+    generation detection as the GGNN kernel)."""
     if d % 128 != 0 or heads <= 0 or d % heads != 0:
         return False
     if (d // heads) % 64 != 0:
@@ -104,8 +116,9 @@ def fused_block_supported(d: int, heads: int, n_tokens: int,
     if batch * n_tokens < _MIN_ROWS:
         return False
     hid = d * mlp_ratio
-    return (_weight_bytes(d, hid) + _block_bytes(_BM, d, hid)
-            <= _vmem_limit())
+    lim = _vmem_limit()
+    return (_weight_bytes(d, hid) + _block_bytes(_BM, d, hid) <= lim
+            and _attn_bytes(n_tokens, d) <= lim)
 
 
 def _erf(x):
@@ -193,8 +206,9 @@ def _wspec(a):
                         memory_space=pltpu.VMEM)
 
 
-def _row(a, d):
-    return a.reshape(1, -1).astype(jnp.float32) if a.ndim == 1 else a
+def _f32row(a):
+    """Biases/LN params enter the kernels as (1, D) f32 rows."""
+    return a.reshape(1, -1).astype(jnp.float32)
 
 
 # ------------------------------------------------------------ fused impl
@@ -214,11 +228,10 @@ def _fused_impl(x, wq, bq, wk, bk, wv, bv, wo, bo, g1, bb1, g2, bb2,
     vlim = _vmem_limit()
     rowspec = pl.BlockSpec((bm, d_), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
-    f32row = lambda a: a.reshape(1, -1).astype(jnp.float32)
-    qargs = [f32row(g1), f32row(bb1),
-             wq.astype(jnp.bfloat16), f32row(bq),
-             wk.astype(jnp.bfloat16), f32row(bk),
-             wv.astype(jnp.bfloat16), f32row(bv)]
+    qargs = [_f32row(g1), _f32row(bb1),
+             wq.astype(jnp.bfloat16), _f32row(bq),
+             wk.astype(jnp.bfloat16), _f32row(bk),
+             wv.astype(jnp.bfloat16), _f32row(bv)]
     q2, k2, v2 = pl.pallas_call(
         functools.partial(_qkv_kernel, eps=eps),
         grid=(mp // bm,),
@@ -246,10 +259,10 @@ def _fused_impl(x, wq, bq, wk, bk, wv, bv, wo, bo, g1, bb1, g2, bb2,
     ctx2 = ctx.reshape(m, d_)
     if pad:
         ctx2 = jnp.pad(ctx2, ((0, pad), (0, 0)))
-    oargs = [wo.astype(jnp.bfloat16), f32row(bo),
-             f32row(g2), f32row(bb2),
-             w1.astype(jnp.bfloat16), f32row(b1),
-             w2.astype(jnp.bfloat16), f32row(b2)]
+    oargs = [wo.astype(jnp.bfloat16), _f32row(bo),
+             _f32row(g2), _f32row(bb2),
+             w1.astype(jnp.bfloat16), _f32row(b1),
+             w2.astype(jnp.bfloat16), _f32row(b2)]
     out = pl.pallas_call(
         functools.partial(_out_mlp_kernel, eps=eps, quick_gelu=quick_gelu),
         grid=(mp // bm,),

@@ -45,6 +45,9 @@ def test_supported_gate():
     assert not fused_block_supported(1056, 16, 257, 256)   # d % 128 != 0
     assert fused_block_supported(1024, 8, 257, 256)        # dh=128 fine
     assert not fused_block_supported(768, 16, 257, 256)    # dh=48 not 64-aligned
+    # high-res patchification: the attention core's token-scaled VMEM
+    # (score matrix + (1,n,d) blocks) must gate, not just the weights
+    assert not fused_block_supported(1024, 16, 8465, 1)
 
 
 @pytest.mark.slow
