@@ -1,0 +1,198 @@
+"""Generate a LEARNABLE synthetic imSitu dataset (annotations + images).
+
+Purpose: end-to-end accuracy evidence.  The real imSitu dataset (and the
+reference's published checkpoint) are not available in this environment, so
+the reference's #1 build target — val mean ~= 65.7 at epoch 30
+(``/root/reference/README.md:98-107``) — cannot be reproduced directly.
+This tool generates a dataset in the exact imSitu schema
+(``{img: {"verb": v, "frames": [{role: noun} x 3]}}``,
+``/root/reference/utils/imsitu_loader.py:13-20``) whose images *visually
+encode* their annotations, so the full training stack (CLI -> encoder ->
+loader -> device transforms -> frozen backbone -> GGNN -> heads -> scorer ->
+checkpoints) can demonstrate genuine *generalization*: train on one split,
+watch held-out dev metrics climb from chance to near-ceiling.  Unlike the
+5-image overfit fixture (memorization), dev images here are unseen
+verb/noun combinations — the model must learn the visual code.
+
+Visual code (flip-, crop- AND pooling-robust by construction):
+* the image is horizontal color bands (uniform along x, so the train-time
+  random horizontal flip is a no-op on the signal);
+* band 0 (top, 40 px) encodes the VERB as an HSV hue;
+* band i+1 (36 px each) encodes role slot i's NOUN as an HSV hue
+  ('' -> black, the imSitu empty label); slots beyond the verb's role
+  count are mid-gray;
+* each ROLE NAME owns a disjoint noun sub-vocabulary (as in real imSitu —
+  places are places, agents are people), so the (role -> noun) assignment
+  is decodable from position-blind features: the backbone's global
+  average pooling sees "which hues are present", and every present hue
+  belongs to exactly one of the verb's roles.  A role is empty ('') iff
+  none of its nouns is visible.  Without this property the task needs
+  band POSITION, which pooled conv features barely carry (measured: dev
+  mean plateaus near 45 with a shared noun pool vs near-ceiling with
+  disjoint pools);
+* bands are thick relative to the random-crop jitter of the 256->224
+  window, so every band stays visible under augmentation;
+* mild Gaussian pixel noise + JPEG compression keep the task non-trivial
+  at the pixel level.
+
+Annotator frames: frame 0 is the ground-truth assignment; frames 1-2 each
+re-roll one role with probability ``--disagree`` (default 0.1), exercising
+the 3-annotation scoring semantics (``utils/imsitu_scorer.py:44-48``)
+while keeping the task learnable.
+
+Outputs under --out: train.json / dev.json / test.json / imsitu_space.json
+(minimal gloss table so --test_img / --subset work), and JPEG images under
+--img_dir.  Fully deterministic for a given --seed.
+"""
+
+from __future__ import annotations
+
+import argparse
+import colorsys
+import json
+import os
+
+import numpy as np
+
+ROLE_POOL = [
+    "agent", "place", "tool", "item", "target", "source",
+    "destination", "container", "coagent", "surface", "obstacle", "goal",
+]
+
+
+def _hue_rgb(h: float) -> np.ndarray:
+    return np.array([round(255 * c) for c in colorsys.hsv_to_rgb(h, 0.9, 0.95)],
+                    dtype=np.uint8)
+
+
+class SynthSpec:
+    """Deterministic vocabulary + visual-code tables."""
+
+    def __init__(self, n_verbs: int, nouns_per_role: int):
+        self.verbs = [f"synthverb{i}" for i in range(n_verbs)]
+        # verb i has 1..6 roles, rotating through the role pool so roles are
+        # shared across verbs (as in real imSitu); every 6th verb uses the
+        # full 6 so max_role_count matches the real dataset's
+        self.roles_per_verb = {}
+        for i, v in enumerate(self.verbs):
+            rc = 1 + (i % 6)
+            self.roles_per_verb[v] = [
+                ROLE_POOL[(i + j) % len(ROLE_POOL)] for j in range(rc)]
+        # disjoint noun sub-vocabulary per role name (see module docstring)
+        self.nouns = []
+        self.role_nouns = {}
+        for r_idx, role in enumerate(ROLE_POOL):
+            pool = [f"n{90000000 + r_idx * nouns_per_role + j}"
+                    for j in range(nouns_per_role)]
+            self.role_nouns[role] = pool
+            self.nouns.extend(pool)
+        n_nouns = len(self.nouns)
+        self.verb_rgb = {
+            v: _hue_rgb(i / n_verbs) for i, v in enumerate(self.verbs)}
+        # noun hues: offset half a step so no noun color equals a verb
+        # color, and strided by role so a role's OWN nouns (the ones the
+        # model must discriminate) sit maximally far apart on the wheel
+        self.noun_rgb = {}
+        for r_idx, role in enumerate(ROLE_POOL):
+            for j, n in enumerate(self.role_nouns[role]):
+                h = (j * len(ROLE_POOL) + r_idx + 0.5) / n_nouns
+                self.noun_rgb[n] = _hue_rgb(h)
+        self.noun_rgb[""] = np.zeros((3,), dtype=np.uint8)
+
+
+def render(spec: SynthSpec, verb: str, assignment: dict,
+           rng: np.random.Generator, size: int = 256) -> np.ndarray:
+    """Render the band image for one (verb, {role: noun}) annotation."""
+    img = np.full((size, size, 3), 128, dtype=np.float32)
+    img[:40] = spec.verb_rgb[verb]
+    for slot, role in enumerate(spec.roles_per_verb[verb]):
+        y0 = 40 + 36 * slot
+        img[y0:y0 + 36] = spec.noun_rgb[assignment[role]]
+    img += rng.normal(0.0, 8.0, size=img.shape)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def sample_annotation(spec: SynthSpec, verb: str, rng: np.random.Generator,
+                      empty_p: float, disagree_p: float) -> dict:
+    roles = spec.roles_per_verb[verb]
+    gt = {}
+    for r in roles:
+        pool = spec.role_nouns[r]
+        gt[r] = ("" if rng.random() < empty_p else
+                 pool[int(rng.integers(len(pool)))])
+    frames = [dict(gt)]
+    for _ in range(2):
+        f = dict(gt)
+        if rng.random() < disagree_p:
+            r = roles[int(rng.integers(len(roles)))]
+            pool = spec.role_nouns[r]
+            f[r] = pool[int(rng.integers(len(pool)))]
+        frames.append(f)
+    return {"verb": verb, "frames": frames}
+
+
+def make_split(spec: SynthSpec, n: int, split: str, img_dir: str,
+               rng: np.random.Generator, empty_p: float, disagree_p: float,
+               quality: int) -> dict:
+    from PIL import Image
+
+    anns = {}
+    verbs = spec.verbs
+    for i in range(n):
+        verb = verbs[i % len(verbs)]  # balanced classes
+        ann = sample_annotation(spec, verb, rng, empty_p, disagree_p)
+        name = f"{verb}_{split}_{i}.jpg"
+        img = render(spec, verb, ann["frames"][0], rng)
+        Image.fromarray(img).save(os.path.join(img_dir, name),
+                                  quality=quality)
+        anns[name] = ann
+    return anns
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("--out", default="synth_imSitu",
+                   help="annotation output folder")
+    p.add_argument("--img_dir", default="synth_resized_256")
+    p.add_argument("--verbs", type=int, default=16)
+    p.add_argument("--nouns_per_role", type=int, default=4,
+                   help="disjoint nouns per role name "
+                        f"(total = this x {len(ROLE_POOL)} roles)")
+    p.add_argument("--train", type=int, default=2048)
+    p.add_argument("--dev", type=int, default=512)
+    p.add_argument("--test", type=int, default=512)
+    p.add_argument("--empty_p", type=float, default=0.08,
+                   help="probability a role's noun is the empty label ''")
+    p.add_argument("--disagree", type=float, default=0.1,
+                   help="per-frame probability annotators 2/3 re-roll a role")
+    p.add_argument("--quality", type=int, default=90, help="JPEG quality")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    os.makedirs(args.out, exist_ok=True)
+    os.makedirs(args.img_dir, exist_ok=True)
+    spec = SynthSpec(args.verbs, args.nouns_per_role)
+    rng = np.random.default_rng(args.seed)
+
+    for split, n in (("train", args.train), ("dev", args.dev),
+                     ("test", args.test)):
+        anns = make_split(spec, n, split, args.img_dir, rng,
+                          args.empty_p, args.disagree, args.quality)
+        with open(os.path.join(args.out, f"{split}.json"), "w") as f:
+            json.dump(anns, f)
+        print(f"{split}: {n} images -> {args.img_dir}, "
+              f"annotations -> {args.out}/{split}.json")
+
+    # minimal imsitu_space.json so --test_img / --subset gloss lookups work
+    space = {
+        "nouns": {n: {"gloss": [f"noun{i}"]}
+                  for i, n in enumerate(spec.nouns)},
+        "verbs": {v: {"order": spec.roles_per_verb[v]} for v in spec.verbs},
+    }
+    with open(os.path.join(args.out, "imsitu_space.json"), "w") as f:
+        json.dump(space, f)
+    print(f"imsitu_space.json -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()
