@@ -101,6 +101,13 @@ def build_parser() -> ArgumentParser:
                         help='Pre-decoded packed image store '
                              '(tools/pack_dataset.py); removes JPEG decode '
                              'from the input path entirely')
+    parser.add_argument('--platform', type=str, default='auto',
+                        choices=['auto', 'cpu'],
+                        help='JAX platform: "auto" uses the default backend '
+                             '(TPU when present); "cpu" forces the CPU '
+                             'backend at the config level — unlike the '
+                             'JAX_PLATFORMS env var this also wins on hosts '
+                             'whose site configuration pins a device plugin')
     parser.add_argument('--preproc', type=str, default='window',
                         choices=['window', 'exact'],
                         help='Eval/inference preprocessing: "window" '
@@ -232,6 +239,11 @@ def main(argv=None) -> None:
     random.seed(args.seed)
 
     import jax
+
+    if args.platform == 'cpu':
+        # must precede any device use; a config-level update beats both the
+        # JAX_PLATFORMS env var and site-installed plugin pins
+        jax.config.update('jax_platforms', 'cpu')
     import jax.numpy as jnp
 
     from situation_recognition_tpu.data.dataset import ImsituDataset, ImsituLoader

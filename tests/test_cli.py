@@ -68,6 +68,7 @@ def run_cli(workdir, *extra, timeout=600):
     env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "1"
     cmd = [sys.executable, os.path.join(REPO, "sr.py"),
            "--backbone", "mini", "--batch_size", "5", "--num_workers", "2",
+           "--platform", "cpu",
            "--precision", "fp32", *extra]
     return subprocess.run(cmd, cwd=workdir, env=env, timeout=timeout,
                           capture_output=True, text=True)

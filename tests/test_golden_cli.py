@@ -83,6 +83,7 @@ def run_cli(workdir, *extra):
     env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "1"
     cmd = [sys.executable, os.path.join(REPO, "sr.py"),
            "--backbone", "mini", "--batch_size", "5", "--num_workers", "2",
+           "--platform", "cpu",
            "--precision", "fp32", "--seed", "0", *extra]
     r = subprocess.run(cmd, cwd=workdir, env=env, timeout=900,
                        capture_output=True, text=True)

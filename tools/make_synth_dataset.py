@@ -131,6 +131,39 @@ def sample_annotation(spec: SynthSpec, verb: str, rng: np.random.Generator,
     return {"verb": verb, "frames": frames}
 
 
+def _patch_label_coverage(spec: SynthSpec, anns: dict) -> None:
+    """Force the train split to use every label its verbs can produce.
+
+    The reference encoder maps unseen labels to the literal train label
+    'UNK' via ``label_list.index('UNK')``
+    (``/root/reference/utils/imsitu_encoder.py:190-194``) — which CRASHES
+    when no 'UNK' string exists in the train vocabulary.  The real imSitu
+    train split covers its label space; a small synthetic sample might
+    not, so rewrite a round-robin of images until every (role, noun) pair
+    — including the empty label — appears in some train annotation."""
+    used = {r: set() for r in ROLE_POOL}
+    by_role = {r: [] for r in ROLE_POOL}
+    for name, ann in anns.items():
+        for role, noun in ann["frames"][0].items():
+            used[role].add(noun)
+            by_role[role].append(name)
+    for role, names in by_role.items():
+        if not names:
+            continue  # role unused by this verb set -> can't occur in dev/test
+        missing = [n for n in spec.role_nouns[role] + [""]
+                   if n not in used[role]]
+        if len(missing) > len(names):
+            raise ValueError(
+                f"train split too small to cover role {role!r}: "
+                f"{len(missing)} labels missing but only {len(names)} train "
+                f"images use the role — raise --train or lower "
+                f"--nouns_per_role")
+        for i, noun in enumerate(missing):
+            ann = anns[names[i % len(names)]]
+            for frame in ann["frames"]:
+                frame[role] = noun
+
+
 def make_split(spec: SynthSpec, n: int, split: str, img_dir: str,
                rng: np.random.Generator, empty_p: float, disagree_p: float,
                quality: int) -> dict:
@@ -140,12 +173,15 @@ def make_split(spec: SynthSpec, n: int, split: str, img_dir: str,
     verbs = spec.verbs
     for i in range(n):
         verb = verbs[i % len(verbs)]  # balanced classes
-        ann = sample_annotation(spec, verb, rng, empty_p, disagree_p)
         name = f"{verb}_{split}_{i}.jpg"
+        anns[name] = sample_annotation(spec, verb, rng, empty_p, disagree_p)
+    if split == "train":
+        _patch_label_coverage(spec, anns)
+    for name, ann in anns.items():
+        verb = ann["verb"]
         img = render(spec, verb, ann["frames"][0], rng)
         Image.fromarray(img).save(os.path.join(img_dir, name),
                                   quality=quality)
-        anns[name] = ann
     return anns
 
 
