@@ -93,6 +93,14 @@ def build_parser() -> ArgumentParser:
     parser.add_argument('--save_steps', type=int, default=0,
                         help='Also checkpoint every N train steps '
                              '(mid-epoch, preemption-safe resume)')
+    parser.add_argument('--cache_device', action='store_true',
+                        help='Keep ALL image windows resident in device '
+                             'HBM (uploaded once; every batch becomes an '
+                             'on-device gather — zero per-step image '
+                             'transfer). Fits datasets up to a few GB, '
+                             'e.g. the whole imSitu dev split; train '
+                             'datasets require square sources (the '
+                             'deterministic-window gate)')
     parser.add_argument('--cache_decoded', action='store_true',
                         help='Cache decoded images in host RAM '
                              '(~200KB/image; removes JPEG decode from the '
@@ -309,6 +317,8 @@ def main(argv=None) -> None:
             dataset.enable_packed(args.packed_dir)
         elif args.cache_decoded:
             dataset.enable_decode_cache()
+        if args.cache_device:
+            dataset.enable_window_cache()
         return dataset
 
     # loaders use the ROUNDED batch: built at args.batch_size they would

@@ -120,6 +120,52 @@ class ImsituDataset:
     def packed(self) -> bool:
         return getattr(self, "_packed", None) is not None
 
+    def enable_window_cache(self) -> None:
+        """Precompute every host window once and mark the dataset for
+        DEVICE-resident batching (``--cache_device``): the trainer uploads
+        the whole (N, S, S, 3) uint8 window array to HBM once and builds
+        each batch as an on-device gather, eliminating the per-batch
+        host→device image transfer entirely — zero input-pipeline cost
+        for any dataset that fits device memory (the full 25k-image
+        imSitu dev split is ~4.9 GB — comfortably HBM-resident on one
+        chip; the reference re-ships every batch every epoch).
+
+        Windows must be deterministic so the cache cannot freeze
+        augmentation: eval/exact windows are deterministic by definition;
+        a TRAIN dataset is accepted only when every image is exactly
+        WINDOW² after short-side normalization (the random crop then has
+        a single possible offset — true for square sources; the standard
+        ``resized_256`` imSitu layout keeps long sides > 256, so real
+        imSitu training should keep the host path).  The random horizontal
+        flip stays live either way — flip bits are per-(seed, epoch,
+        example) host draws applied device-side inside the jitted step.
+        """
+        if self._decoded_cache is not None:
+            raise ValueError("enable_window_cache and enable_decode_cache "
+                             "are alternatives; pick one")
+        S = self.window_size
+        cache = np.empty((len(self.names), S, S, 3), dtype=np.uint8)
+        for i in range(len(self.names)):
+            if self.train:
+                from situation_recognition_tpu.data.transforms import (
+                    normalize_short_side)
+
+                img = normalize_short_side(self.load_image(i))
+                if img.shape[:2] != (S, S):
+                    raise ValueError(
+                        f"device window cache on a TRAIN dataset requires "
+                        f"square {S}x{S} sources (deterministic crop); "
+                        f"{self.names[i]!r} is {img.shape[:2]} — use "
+                        f"--cache_decoded / --packed_dir instead")
+                cache[i] = img
+            else:
+                cache[i] = self.load_window(i, None)
+        self._window_cache = cache
+
+    @property
+    def window_cached(self) -> bool:
+        return getattr(self, "_window_cache", None) is not None
+
     def load_image(self, idx: int) -> np.ndarray:
         if self.packed:
             off, h, w = self._packed_index[self.names[idx]]
@@ -156,8 +202,8 @@ class ImsituLoader:
         self.prefetch = prefetch
         self.drop_last = drop_last
         self.epoch = 0
-        if dataset.packed:
-            decoder = "python"  # packed reads are memmap slices, no decode
+        if dataset.packed or dataset.window_cached:
+            decoder = "python"  # memmap slices / index-only batches, no decode
         elif dataset.preproc == "exact":
             decoder = "python"  # the C++ decoder emits 256² windows only
         elif decoder == "auto":
@@ -187,6 +233,8 @@ class ImsituLoader:
         ds = self.dataset
         B = len(indices)
         R = ds.encoder.max_role_count
+        if ds.window_cached:
+            return self._make_batch_indices(indices)
         # re-checked per batch (not only at construction): enable_packed may
         # legally be called after the loader exists, and the packed path
         # must win over the native JPEG decoder in that order too
@@ -234,6 +282,31 @@ class ImsituLoader:
         return {
             "names": [ds.names[int(i)] for i in indices],
             "images": images,
+            "verbs": ds.verbs[indices],
+            "labels": ds.labels[indices],
+            "flip": flip,
+        }
+
+    def _make_batch_indices(self, indices: np.ndarray) -> Dict:
+        """Device-cached batching: no pixels move — the batch carries row
+        ``indices`` into the HBM-resident window cache (the trainer
+        gathers on device).  Flip bits replay the live python path's
+        per-(seed, epoch, example) stream exactly: the (square-gated)
+        random crop consumes two draws of ``integers(0, 1)`` before the
+        flip draw, so cached and live batches are bit-identical."""
+        ds = self.dataset
+        B = len(indices)
+        flip = np.zeros((B,), dtype=bool)
+        if ds.train:
+            for slot, idx in enumerate(indices):
+                rng = np.random.default_rng(
+                    (self.seed, self.epoch, int(idx)))
+                rng.integers(0, 1)
+                rng.integers(0, 1)
+                flip[slot] = rng.random() < 0.5
+        return {
+            "names": [ds.names[int(i)] for i in indices],
+            "indices": np.asarray(indices, dtype=np.int32),
             "verbs": ds.verbs[indices],
             "labels": ds.labels[indices],
             "flip": flip,

@@ -200,6 +200,11 @@ class Trainer:
 
         self._repl = NamedSharding(self.mesh, P())
         self._bsh = NamedSharding(self.mesh, P("data"))
+        #: HBM-resident window caches (enable_window_cache datasets) and the
+        #: on-device batch gather that replaces per-batch pixel transfers
+        self._hbm_caches = {}
+        self._cache_gather = jax.jit(lambda cache, rows: cache[rows],
+                                     out_shardings=self._bsh)
 
         # placement: batch over 'data'; classifier kernels over 'model'
         # (head_param_sharding); everything else replicated.
@@ -415,23 +420,49 @@ class Trainer:
         idx = np.arange(B) % n
         valid = (np.arange(B) < n).astype(np.float32)
         out = {
-            "images": batch["images"][idx],
             "flip": batch["flip"][idx],
             "verbs": batch["verbs"][idx].astype(np.int32),
             "labels": batch["labels"][idx].astype(np.int32),
         }
+        # device-cached batches carry gather row "indices" instead of pixels
+        for k in ("images", "indices"):
+            if k in batch:
+                out[k] = batch[k][idx]
         return out, valid, n
+
+    def _hbm_window_cache(self, dataset) -> jax.Array:
+        """Upload a dataset's precomputed window cache to HBM once
+        (replicated over the mesh) and memoize the device array."""
+        host = dataset._window_cache
+        entry = self._hbm_caches.get(id(host))
+        if entry is None or entry[0] is not host:
+            entry = (host, jax.device_put(host, self._repl))
+            self._hbm_caches[id(host)] = entry
+        return entry[1]
 
     def _device_batches(self, loader):
         """Iterate (device_arrays, device_valid, host_batch, n) with the
         NEXT batch's host→device transfer issued before the current batch is
         consumed (double-buffered device_put; with JAX's async dispatch the
-        transfer overlaps the in-flight step's compute)."""
+        transfer overlaps the in-flight step's compute).
+
+        Datasets with ``enable_window_cache`` skip the per-batch pixel
+        transfer entirely: the window array lives in HBM (uploaded once
+        here) and each batch's images materialize as an on-device gather
+        of the batch's row indices — the only per-step host→device bytes
+        are the (B,) indices/verbs/labels/flip sidecars."""
         pending = None
+        cache_dev = None
+        ds = getattr(loader, "dataset", None)
+        if ds is not None and getattr(ds, "window_cached", False):
+            cache_dev = self._hbm_window_cache(ds)
         for batch in loader:
             arrays, valid, n = self._pad_batch(batch)
-            dev = ({k: jax.device_put(v, self._bsh) for k, v in arrays.items()},
-                   jax.device_put(valid, self._bsh), batch, n)
+            dev = {k: jax.device_put(v, self._bsh) for k, v in arrays.items()}
+            if cache_dev is not None:
+                dev["images"] = self._cache_gather(cache_dev,
+                                                   dev.pop("indices"))
+            dev = (dev, jax.device_put(valid, self._bsh), batch, n)
             if pending is not None:
                 yield pending
             pending = dev

@@ -1,0 +1,114 @@
+"""HBM-resident window cache (``--cache_device``): device-side batching.
+
+New capability beyond the reference (which re-ships every batch from host
+every epoch, ``/root/reference/sr.py:57-61`` ``.cuda()`` copies): the
+whole window array lives in device memory and batches materialize as
+on-device gathers.  These tests pin the contract:
+
+* cached batches are BIT-IDENTICAL to the live host path — pixels, flip
+  bits (the per-(seed, epoch, example) stream is replayed exactly),
+  verbs, labels, order;
+* a train epoch through the cache produces the losses of the live path;
+* the deterministic-window gate rejects non-square TRAIN sources (the
+  cache must never freeze the reference's random-crop augmentation).
+"""
+
+import json
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from situation_recognition_tpu.data.dataset import ImsituDataset, ImsituLoader
+from situation_recognition_tpu.data.encoder import ImsituEncoder
+from situation_recognition_tpu.train import Trainer, TrainerConfig
+
+
+@pytest.fixture(scope="module")
+def square_setup(tmp_path_factory, overfitting_json):
+    from tests.conftest import make_synth_images
+
+    d = tmp_path_factory.mktemp("sq_imgs")
+    names = list(overfitting_json.keys())
+    make_synth_images(d, names)  # all 256x256 -> square gate passes
+    enc = ImsituEncoder(overfitting_json, verbose=False)
+    return str(d), overfitting_json, enc
+
+
+def _epoch_batches(loader, epoch):
+    loader.set_epoch(epoch)
+    return list(loader)
+
+
+@pytest.mark.parametrize("train", [True, False])
+def test_cached_batches_bit_identical(square_setup, train):
+    img_dir, ann, enc = square_setup
+    live_ds = ImsituDataset(img_dir, ann, enc, train=train)
+    cache_ds = ImsituDataset(img_dir, ann, enc, train=train)
+    cache_ds.enable_window_cache()
+    # the cache replays the PYTHON decoder's augmentation stream (same
+    # rule as packed storage); the native C++ decoder draws from its own
+    live = ImsituLoader(live_ds, batch_size=2, shuffle=train, seed=3,
+                        decoder="python")
+    cached = ImsituLoader(cache_ds, batch_size=2, shuffle=train, seed=3)
+    for epoch in (0, 1):
+        for lb, cb in zip(_epoch_batches(live, epoch),
+                          _epoch_batches(cached, epoch)):
+            assert lb["names"] == cb["names"]
+            assert "images" not in cb
+            gathered = cache_ds._window_cache[cb["indices"]]
+            np.testing.assert_array_equal(lb["images"], gathered)
+            np.testing.assert_array_equal(lb["flip"], cb["flip"])
+            np.testing.assert_array_equal(lb["verbs"], cb["verbs"])
+            np.testing.assert_array_equal(lb["labels"], cb["labels"])
+
+
+def test_train_epoch_losses_match_live_path(square_setup):
+    img_dir, ann, enc = square_setup
+    cfg = TrainerConfig(hidden=64, batch_size=8, backbone="mini",
+                        compute_dtype=jnp.float32, lr=0.01)
+
+    def losses(ds):
+        loader = ImsituLoader(ds, batch_size=8, shuffle=True, seed=0,
+                              decoder="python")
+        tr = Trainer(enc, cfg)
+        _, _, out = tr.train_epoch(loader, epoch=0)
+        return out
+
+    live = losses(ImsituDataset(img_dir, ann, enc, train=True))
+    ds = ImsituDataset(img_dir, ann, enc, train=True)
+    ds.enable_window_cache()
+    cached = losses(ds)
+    np.testing.assert_allclose(cached, live, rtol=0, atol=0)
+
+
+def test_evaluate_through_cache(square_setup):
+    img_dir, ann, enc = square_setup
+    ds = ImsituDataset(img_dir, ann, enc, train=False)
+    ds.enable_window_cache()
+    loader = ImsituLoader(ds, batch_size=8, shuffle=False)
+    tr = Trainer(enc, TrainerConfig(hidden=64, batch_size=8, backbone="mini",
+                                    compute_dtype=jnp.float32))
+    top1, top5, val_losses, _ = tr.evaluate(loader)
+    assert np.isfinite(list(val_losses.values())).all()
+    assert len(top1) == len(ds)
+
+
+def test_square_gate_rejects_nonsquare_train(tmp_path, overfitting_json):
+    from tests.conftest import make_synth_images
+
+    names = list(overfitting_json.keys())
+    sizes = [(256, 256)] * len(names)
+    sizes[2] = (256, 341)  # resized_256-style landscape image
+    make_synth_images(tmp_path, names, sizes=sizes)
+    enc = ImsituEncoder(overfitting_json, verbose=False)
+
+    train_ds = ImsituDataset(str(tmp_path), overfitting_json, enc, train=True)
+    with pytest.raises(ValueError, match="square"):
+        train_ds.enable_window_cache()
+
+    # the same shapes are FINE for eval: center windows are deterministic
+    eval_ds = ImsituDataset(str(tmp_path), overfitting_json, enc, train=False)
+    eval_ds.enable_window_cache()
+    assert eval_ds._window_cache.shape[1:] == (256, 256, 3)
