@@ -188,6 +188,29 @@ def main():
         print(f"[e2e] measured e2e epoch: {out['e2e_measured']} img/s",
               file=sys.stderr)
 
+    # --- stage 5: HBM-resident window cache (--cache_device) ---------------
+    # one upload, then epochs with zero per-batch pixel transfer: the
+    # steady-state rate should approach the device step rate even on this
+    # rig's MB/s tunnel (where the host-fed e2e epoch above is h2d-bound)
+    if os.environ.get("BENCH_E2E_DEVCACHE", "1") != "0":
+        n_dc = min(n_images, 2 * global_batch)
+        dc_ann = {k: ann[k] for k in list(ann)[:n_dc]}
+        dc_ds = ImsituDataset(img_dir, dc_ann, encoder, train=True)
+        dc_ds.enable_window_cache()
+        dc_loader = ImsituLoader(dc_ds, batch_size=global_batch,
+                                 shuffle=True, seed=0)
+        t0 = time.perf_counter()
+        cache_dev = trainer._hbm_window_cache(dc_ds)
+        np.asarray(cache_dev[0, 0, 0])  # sync the upload through the tunnel
+        out["devcache_upload_s"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        _, _, losses = trainer.train_epoch(dc_loader, epoch=4)
+        assert all(np.isfinite(losses)), losses
+        out["e2e_devcache"] = round(n_dc / (time.perf_counter() - t0), 1)
+        print(f"[e2e] devcache epoch ({n_dc} imgs, upload "
+              f"{out['devcache_upload_s']}s once): {out['e2e_devcache']} "
+              f"img/s", file=sys.stderr)
+
     stages = {k: out[k] for k in ("input_warm", "h2d", "step")}
     out["bottleneck"] = min(stages, key=stages.get)
     print(json.dumps(out))
