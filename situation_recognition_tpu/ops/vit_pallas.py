@@ -59,6 +59,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -162,29 +163,51 @@ def _qkv_kernel(x_ref, g_ref, b_ref, wq_ref, bq_ref, wk_ref, bk_ref,
         o_ref[:] = (o + bias_ref[:]).astype(o_ref.dtype)
 
 
+_LOG2E = float(math.log2(math.e))
+
+
 def _attn_core_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int,
-                      scale: float):
+                      scale: float, folded: bool):
     """Scores + f32 softmax + context for ONE example, all heads.
 
     Per-head 64-lane slices; the (N, N) score matrix lives only in VMEM.
     Measured alternatives at the parity shape all lose: head-pair masked
     128-lane dots 6.10→ same class, CLS-row-on-VPU splits 8.1-9.0 ms
     (misaligned/VPU-heavy), XLA core ~8 with its forced relayouts.
+
+    ``folded=True`` is the cheap-softmax variant: the score scale and
+    the log2(e) conversion are pre-multiplied into q ONCE per example
+    (an (N, D) op instead of heads×(N, N)), the exponent uses the
+    native ``exp2``, and the softmax denominator is divided into the
+    (N, dh) context rows AFTER the probability@V dot instead of into
+    the (N, N) probability matrix — removing both N×N VPU
+    elementwise passes.  Same max-subtracted-softmax math, reordered;
+    interpret-mode equality is tested at the same bf16-class bound as
+    the baseline (tests/test_vit_pallas.py).
     """
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
     d = q.shape[-1]
     dh = d // heads
+    if folded:
+        q = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(jnp.bfloat16)
     for h in range(heads):
         sl = slice(h * dh, (h + 1) * dh)
         s = jax.lax.dot_general(q[:, sl], k[:, sl],
                                 (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        p = jax.nn.softmax(s * scale, axis=-1).astype(jnp.bfloat16)
-        o_ref[0, :, sl] = jnp.dot(p, v[:, sl],
-                                  preferred_element_type=jnp.float32
-                                  ).astype(o_ref.dtype)
+        if folded:
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp2(s - m).astype(jnp.bfloat16)
+            den = jnp.sum(e, axis=-1, keepdims=True, dtype=jnp.float32)
+            ctx = jnp.dot(e, v[:, sl], preferred_element_type=jnp.float32)
+            o_ref[0, :, sl] = (ctx * (1.0 / den)).astype(o_ref.dtype)
+        else:
+            p = jax.nn.softmax(s * scale, axis=-1).astype(jnp.bfloat16)
+            o_ref[0, :, sl] = jnp.dot(p, v[:, sl],
+                                      preferred_element_type=jnp.float32
+                                      ).astype(o_ref.dtype)
 
 
 def _out_mlp_kernel(x_ref, ctx_ref, wo_ref, bo_ref, g_ref, b_ref,
@@ -216,7 +239,8 @@ def _f32row(a):
 
 def _fused_impl(x, wq, bq, wk, bk, wv, bv, wo, bo, g1, bb1, g2, bb2,
                 w1, b1, w2, b2, *, heads: int, eps: float,
-                quick_gelu: bool, interpret: bool):
+                quick_gelu: bool, interpret: bool,
+                attn_folded: bool = False):
     b_, n_, d_ = x.shape
     m = b_ * n_
     bm = _BM if m % _BM == 0 or m > _BM else m
@@ -246,7 +270,8 @@ def _fused_impl(x, wq, bq, wk, bk, wv, bv, wo, bo, g1, bb1, g2, bb2,
                          memory_space=pltpu.VMEM)
     scale = 1.0 / math.sqrt(d_ // heads)
     ctx = pl.pallas_call(
-        functools.partial(_attn_core_kernel, heads=heads, scale=scale),
+        functools.partial(_attn_core_kernel, heads=heads, scale=scale,
+                          folded=attn_folded),
         grid=(b_,),
         in_specs=[bspec] * 3,
         out_specs=bspec,
@@ -307,13 +332,26 @@ def _reference_block(x, wq, bq, wk, bk, wv, bv, wo, bo, g1, bb1, g2, bb2,
 # ---------------------------------------------------------- public VJP
 
 
+def _attn_core_variant() -> str:
+    """Attention-core softmax flavor: ``softmax`` (baseline, f32
+    ``jax.nn.softmax`` on the N×N scores) or ``exp2`` (scale/log2e
+    folded into q, denominator folded into the context rows).  Env
+    knob ``SRTPU_ATTN_CORE`` until the exp2 variant's chip timing is
+    recorded; then the winner becomes the default."""
+    v = os.environ.get("SRTPU_ATTN_CORE", "softmax")
+    if v not in ("softmax", "exp2"):
+        raise ValueError(f"SRTPU_ATTN_CORE must be softmax|exp2, got {v!r}")
+    return v
+
+
 @functools.lru_cache(maxsize=None)
 def _make_fused_block(heads: int, eps: float, quick_gelu: bool,
-                      interpret: bool):
+                      interpret: bool, attn_folded: bool):
     @jax.custom_vjp
     def fused(x, *w):
         return _fused_impl(x, *w, heads=heads, eps=eps,
-                           quick_gelu=quick_gelu, interpret=interpret)
+                           quick_gelu=quick_gelu, interpret=interpret,
+                           attn_folded=attn_folded)
 
     def fwd(x, *w):
         out, vjp = jax.vjp(
@@ -331,7 +369,8 @@ def _make_fused_block(heads: int, eps: float, quick_gelu: bool,
 def fused_encoder_block(x, wq, bq, wk, bk, wv, bv, wo, bo, g1, bb1,
                         g2, bb2, w1, b1, w2, b2, *, heads: int,
                         eps: float, quick_gelu: bool = False,
-                        interpret: bool = False):
+                        interpret: bool = False,
+                        attn_core: str | None = None):
     """One ViT encoder block through the fused Pallas kernels.
 
     ``x`` (B, N, D); projection weights pre-flattened to 2D with
@@ -345,7 +384,9 @@ def fused_encoder_block(x, wq, bq, wk, bk, wv, bv, wo, bo, g1, bb1,
     docstring documents why; the frozen ViT backbone never
     backpropagates in any reference configuration).
     """
+    if attn_core is None:
+        attn_core = _attn_core_variant()
     return _make_fused_block(heads, float(eps), bool(quick_gelu),
-                             bool(interpret))(
+                             bool(interpret), attn_core == "exp2")(
         x, wq, bq, wk, bk, wv, bv, wo, bo, g1, bb1, g2, bb2,
         w1, b1, w2, b2)

@@ -68,6 +68,38 @@ def test_fused_kernels_match_reference_interpret():
 
 
 @pytest.mark.slow
+def test_fused_kernels_exp2_attn_core_interpret():
+    """The folded exp2 attention core (scale/log2e pre-multiplied into
+    q, denominator divided into the context rows) is the same softmax
+    up to bf16 rounding order — hold it to the SAME bound as the
+    baseline core, vs both the jnp reference and the baseline kernels."""
+    p, x = _params_and_x(seed=2)
+    want = _reference_block(x, *_args(p), heads=HEADS, eps=1e-6,
+                            quick_gelu=False)
+    base = fused_encoder_block(x, *_args(p), heads=HEADS, eps=1e-6,
+                               quick_gelu=False, interpret=True,
+                               attn_core="softmax")
+    got = fused_encoder_block(x, *_args(p), heads=HEADS, eps=1e-6,
+                              quick_gelu=False, interpret=True,
+                              attn_core="exp2")
+    scale = np.max(np.abs(np.asarray(want, np.float32)))
+    for other in (want, base):
+        diff = np.max(np.abs(np.asarray(got, np.float32)
+                             - np.asarray(other, np.float32)))
+        assert diff <= 0.03 * max(scale, 1.0), (diff, scale)
+
+
+def test_attn_core_variant_env(monkeypatch):
+    from situation_recognition_tpu.ops.vit_pallas import _attn_core_variant
+    assert _attn_core_variant() in ("softmax", "exp2")
+    monkeypatch.setenv("SRTPU_ATTN_CORE", "exp2")
+    assert _attn_core_variant() == "exp2"
+    monkeypatch.setenv("SRTPU_ATTN_CORE", "bogus")
+    with pytest.raises(ValueError):
+        _attn_core_variant()
+
+
+@pytest.mark.slow
 def test_fused_kernels_quick_gelu_interpret():
     p, x = _params_and_x(seed=1)
     want = _reference_block(x, *_args(p), heads=HEADS, eps=1e-5,
