@@ -28,6 +28,37 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 REFERENCE_IMG_PER_SEC_PER_CHIP = 200.0
 
 
+def _claim_watchdog(timeout_s: float):
+    """Guard the TPU device claim with a hard deadline.
+
+    The axon tunnel's pool claim can wedge indefinitely on the remote
+    side (observed 2026-08-17/18: ``jax.devices()`` never returns, and
+    the plugin's ``claim_timeout_s`` is not honored through the
+    loopback relay).  A bench that hangs forever is worse than one that
+    reports failure — if the first device call hasn't completed within
+    ``timeout_s``, print an error JSON line (same one-line contract)
+    and exit hard.  Disarmed by ``set()`` on the returned event; the
+    deadline is generous (default 600 s vs the normal few-second claim)
+    so it can only fire on a genuinely dead tunnel."""
+    import threading
+
+    ok = threading.Event()
+
+    def watch():
+        if not ok.wait(timeout_s):
+            print(json.dumps({
+                "metric": "train_images_per_sec_per_chip",
+                "value": None,
+                "unit": "img/s/chip",
+                "error": (f"device claim did not complete within "
+                          f"{timeout_s:.0f}s (wedged TPU tunnel?)"),
+            }), flush=True)
+            os._exit(2)
+
+    threading.Thread(target=watch, daemon=True).start()
+    return ok
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -37,7 +68,10 @@ def main():
     from situation_recognition_tpu.parallel.mesh import make_mesh
     from situation_recognition_tpu.train import Trainer, TrainerConfig
 
+    claimed = _claim_watchdog(
+        float(os.environ.get("BENCH_CLAIM_TIMEOUT", "600")))
     on_tpu = jax.default_backend() == "tpu"
+    claimed.set()
     # per-chip batch: reference global 6144 over 8 chips = 768/chip
     batch = int(os.environ.get("BENCH_BATCH", 768 if on_tpu else 8))
     steps = int(os.environ.get("BENCH_STEPS", 20 if on_tpu else 3))
