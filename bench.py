@@ -44,10 +44,12 @@ def _claim_watchdog(timeout_s: float):
 
     ok = threading.Event()
 
+    mode = os.environ.get("BENCH_MODE", "train")
+
     def watch():
         if not ok.wait(timeout_s):
             print(json.dumps({
-                "metric": "train_images_per_sec_per_chip",
+                "metric": f"{mode}_images_per_sec_per_chip",
                 "value": None,
                 "unit": "img/s/chip",
                 "error": (f"device claim did not complete within "

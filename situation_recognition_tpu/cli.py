@@ -238,7 +238,13 @@ def _load_resume(trainer, path: str):
 
 
 def main(argv=None) -> None:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.cache_device and args.cache_decoded:
+        # the dataset enforces the same exclusivity; reject it as a usage
+        # error up front instead of a ValueError traceback mid-startup
+        parser.error('--cache_device and --cache_decoded are alternatives; '
+                     'pick one')
 
     # seed the stdlib RNG too (--subset samples via random.randrange like
     # the reference, sr.py:294-295; seeding makes the mode reproducible
@@ -312,12 +318,26 @@ def main(argv=None) -> None:
         print(f'[srtpu] batch_size rounded up to {batch} '
               f'(divisible by data axis {ndata})', file=sys.stderr)
 
-    def _prepare(dataset):
+    # --cache_device scopes to the splits the selected mode batch-iterates
+    # (it eagerly decodes + uploads a whole split to HBM, and the TRAIN
+    # split's square-source requirement would otherwise reject
+    # `--cache_device --evaluate_dev` on real imSitu — the flag's primary
+    # use case — before the dev loader even exists)
+    if args.evaluate_dev:
+        device_cached = {'dev'}
+    elif args.evaluate_test:
+        device_cached = {'test'}
+    elif args.test_img or args.subset > 0:
+        device_cached = set()     # per-image paths, no batch iteration
+    else:
+        device_cached = {'train', 'dev'}   # fit + its per-epoch dev eval
+
+    def _prepare(dataset, split):
         if args.packed_dir:
             dataset.enable_packed(args.packed_dir)
         elif args.cache_decoded:
             dataset.enable_decode_cache()
-        if args.cache_device:
+        if args.cache_device and split in device_cached:
             dataset.enable_window_cache()
         return dataset
 
@@ -326,18 +346,19 @@ def main(argv=None) -> None:
     # rows into every step (wasted compute + skewed train-mode BN stats)
     # instead of only the final partial batch
     train_set = _prepare(
-        ImsituDataset(args.imgset_dir, train_json, encoder, train=True))
+        ImsituDataset(args.imgset_dir, train_json, encoder, train=True),
+        'train')
     train_loader = ImsituLoader(train_set, batch_size=batch,
                                 shuffle=True, seed=args.seed,
                                 num_workers=args.num_workers)
     dev_set = _prepare(
         ImsituDataset(args.imgset_dir, dev_json, encoder, train=False,
-                      preproc=args.preproc))
+                      preproc=args.preproc), 'dev')
     dev_loader = ImsituLoader(dev_set, batch_size=batch,
                               shuffle=False, num_workers=args.num_workers)
     test_set = _prepare(
         ImsituDataset(args.imgset_dir, test_json, encoder, train=False,
-                      preproc=args.preproc))
+                      preproc=args.preproc), 'test')
     test_loader = ImsituLoader(test_set, batch_size=batch,
                                shuffle=True, seed=args.seed,
                                num_workers=args.num_workers)  # ref quirk

@@ -28,6 +28,7 @@ Parity details:
 from __future__ import annotations
 
 import dataclasses
+import weakref
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -200,9 +201,13 @@ class Trainer:
 
         self._repl = NamedSharding(self.mesh, P())
         self._bsh = NamedSharding(self.mesh, P("data"))
-        #: HBM-resident window caches (enable_window_cache datasets) and the
-        #: on-device batch gather that replaces per-batch pixel transfers
-        self._hbm_caches = {}
+        #: HBM-resident window caches (enable_window_cache datasets) and
+        #: the on-device batch gather that replaces per-batch pixel
+        #: transfers.  Weak-keyed by dataset with a weak host ref inside,
+        #: so neither the multi-GB host array nor its HBM replica outlives
+        #: its dataset, and re-enabling a cache replaces (not duplicates)
+        #: the device copy.
+        self._hbm_caches = weakref.WeakKeyDictionary()
         self._cache_gather = jax.jit(lambda cache, rows: cache[rows],
                                      out_shardings=self._bsh)
 
@@ -434,10 +439,10 @@ class Trainer:
         """Upload a dataset's precomputed window cache to HBM once
         (replicated over the mesh) and memoize the device array."""
         host = dataset._window_cache
-        entry = self._hbm_caches.get(id(host))
-        if entry is None or entry[0] is not host:
-            entry = (host, jax.device_put(host, self._repl))
-            self._hbm_caches[id(host)] = entry
+        entry = self._hbm_caches.get(dataset)
+        if entry is None or entry[0]() is not host:
+            entry = (weakref.ref(host), jax.device_put(host, self._repl))
+            self._hbm_caches[dataset] = entry
         return entry[1]
 
     def _device_batches(self, loader):

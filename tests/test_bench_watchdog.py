@@ -15,13 +15,16 @@ def test_watchdog_fires_with_error_json():
         "import sys, time; sys.path.insert(0, %r); "
         "import bench; bench._claim_watchdog(0.3); time.sleep(30)"
         % REPO)
-    proc = subprocess.run([sys.executable, "-c", code],
-                          capture_output=True, text=True, timeout=60)
-    assert proc.returncode == 2, (proc.returncode, proc.stderr)
-    out = json.loads(proc.stdout.strip().splitlines()[-1])
-    assert out["value"] is None
-    assert "claim did not complete" in out["error"]
-    assert out["metric"] == "train_images_per_sec_per_chip"
+    for mode, env_extra in (("train", {}), ("serving",
+                                            {"BENCH_MODE": "serving"})):
+        proc = subprocess.run([sys.executable, "-c", code],
+                              capture_output=True, text=True, timeout=60,
+                              env={**os.environ, **env_extra})
+        assert proc.returncode == 2, (proc.returncode, proc.stderr)
+        out = json.loads(proc.stdout.strip().splitlines()[-1])
+        assert out["value"] is None
+        assert "claim did not complete" in out["error"]
+        assert out["metric"] == f"{mode}_images_per_sec_per_chip"
 
 
 def test_watchdog_disarms_on_claim():

@@ -163,3 +163,36 @@ def test_reference_pickle_encoder_cache_rebuilt(workdir):
         assert "=> evaluating model with dev-set..." in r.stdout
     finally:
         shutil.rmtree(folder, ignore_errors=True)
+
+
+def test_cache_device_scopes_to_the_mode_splits(tmp_path):
+    """`--cache_device --evaluate_dev` on a dataset whose TRAIN images are
+    non-square (the standard resized_256 layout) must work: the window
+    cache applies to the split the mode iterates (dev), not eagerly to
+    all three (the round-2 bug: caching the train split first tripped its
+    square-source gate before the dev loader existed)."""
+    from PIL import Image
+
+    with open(os.path.join(REPO, "imSitu", "overfitting.json")) as f:
+        ann = json.load(f)
+    ds = tmp_path / "imSitu"
+    ds.mkdir()
+    for name in ("train.json", "dev.json", "test.json"):
+        with open(ds / name, "w") as f:
+            json.dump(ann, f)
+    imgs = tmp_path / "resized_256"
+    imgs.mkdir()
+    rng = np.random.default_rng(0)
+    for name in ann:   # landscape 256x341: eval windows fine, train gate not
+        arr = rng.integers(0, 255, (256, 341, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(imgs / name, quality=95)
+
+    r = run_cli(str(tmp_path), "--cache_device", "--evaluate_dev")
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "=> evaluating model with dev-set..." in r.stdout
+
+
+def test_cache_device_and_cache_decoded_rejected(workdir):
+    r = run_cli(workdir, "--cache_device", "--cache_decoded", "--epochs", "1")
+    assert r.returncode == 2
+    assert "alternatives" in r.stderr

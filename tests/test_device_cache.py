@@ -95,6 +95,32 @@ def test_evaluate_through_cache(square_setup):
     assert len(top1) == len(ds)
 
 
+def test_hbm_cache_entries_die_with_their_dataset(square_setup):
+    """The trainer's HBM cache memo must not pin host/device copies for
+    its own lifetime: entries are weak-keyed by dataset (dropping the
+    dataset frees both arrays) and re-enabling a dataset's cache
+    REPLACES its device copy instead of uploading a second one."""
+    import gc
+
+    img_dir, ann, enc = square_setup
+    tr = Trainer(enc, TrainerConfig(hidden=64, batch_size=8, backbone="mini",
+                                    compute_dtype=jnp.float32))
+    ds = ImsituDataset(img_dir, ann, enc, train=False)
+    ds.enable_window_cache()
+    dev1 = tr._hbm_window_cache(ds)
+    assert tr._hbm_window_cache(ds) is dev1          # memoized
+    assert len(tr._hbm_caches) == 1
+
+    ds.enable_window_cache()                          # new host array
+    dev2 = tr._hbm_window_cache(ds)
+    assert dev2 is not dev1
+    assert len(tr._hbm_caches) == 1                   # replaced, not added
+
+    del ds, dev1, dev2
+    gc.collect()
+    assert len(tr._hbm_caches) == 0                   # died with the dataset
+
+
 def test_square_gate_rejects_nonsquare_train(tmp_path, overfitting_json):
     from tests.conftest import make_synth_images
 

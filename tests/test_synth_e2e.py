@@ -47,6 +47,46 @@ def _dev_mean(trainer, dev_loader):
                          top5.get_average_results_both())
 
 
+def test_patch_label_coverage_never_erases_singletons():
+    """Patching in a missing label must not overwrite the LAST occurrence
+    of another (the round-2 bug: round-robin patching clobbered singleton
+    nouns, leaving the train vocabulary incomplete so dev/test encoding
+    crashed on the erased label).  Feasible sizes: full coverage after
+    patching; infeasible sizes: an explicit ValueError, never silent
+    erasure."""
+    import numpy as np
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+    from tools.make_synth_dataset import (
+        SynthSpec, _patch_label_coverage, sample_annotation)
+
+    def build(n, seed):
+        spec = SynthSpec(6, 2)
+        rng = np.random.default_rng(seed)
+        anns = {}
+        for i in range(n):
+            verb = spec.verbs[i % len(spec.verbs)]
+            anns[f"{verb}_train_{i}.jpg"] = sample_annotation(
+                spec, verb, rng, 0.08, 0.1)
+        return spec, anns
+
+    for seed in range(6):
+        spec, anns = build(24, seed)
+        _patch_label_coverage(spec, anns)
+        seen = {}
+        for ann in anns.values():
+            for role, noun in ann["frames"][0].items():
+                seen.setdefault(role, set()).add(noun)
+        for role, nouns in seen.items():
+            assert set(spec.role_nouns[role] + [""]) <= nouns, (seed, role)
+
+    # 12 images leave rare roles on 2 images but needing 3 labels — must
+    # refuse loudly (the old code 'succeeded' by erasing other labels)
+    spec, anns = build(12, 0)
+    with pytest.raises(ValueError, match="too small to cover"):
+        _patch_label_coverage(spec, anns)
+
+
 @pytest.mark.slow
 def test_generalizes_to_held_out_dev(synth):
     ann, img = synth

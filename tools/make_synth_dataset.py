@@ -141,26 +141,36 @@ def _patch_label_coverage(spec: SynthSpec, anns: dict) -> None:
     train split covers its label space; a small synthetic sample might
     not, so rewrite a round-robin of images until every (role, noun) pair
     — including the empty label — appears in some train annotation."""
-    used = {r: set() for r in ROLE_POOL}
     by_role = {r: [] for r in ROLE_POOL}
     for name, ann in anns.items():
-        for role, noun in ann["frames"][0].items():
-            used[role].add(noun)
+        for role in ann["frames"][0]:
             by_role[role].append(name)
     for role, names in by_role.items():
         if not names:
             continue  # role unused by this verb set -> can't occur in dev/test
+        counts: dict = {}
+        cur = {}
+        for name in names:
+            noun = anns[name]["frames"][0][role]
+            cur[name] = noun
+            counts[noun] = counts.get(noun, 0) + 1
         missing = [n for n in spec.role_nouns[role] + [""]
-                   if n not in used[role]]
-        if len(missing) > len(names):
-            raise ValueError(
-                f"train split too small to cover role {role!r}: "
-                f"{len(missing)} labels missing but only {len(names)} train "
-                f"images use the role — raise --train or lower "
-                f"--nouns_per_role")
-        for i, noun in enumerate(missing):
-            ann = anns[names[i % len(names)]]
-            for frame in ann["frames"]:
+                   if n not in counts]
+        for noun in missing:
+            # only rewrite an image whose CURRENT noun occurs elsewhere —
+            # overwriting a singleton would erase that noun's last train
+            # occurrence and recreate the unseen-label crash downstream
+            donor = next((nm for nm in names if counts[cur[nm]] > 1), None)
+            if donor is None:
+                raise ValueError(
+                    f"train split too small to cover role {role!r}: "
+                    f"{len(missing)} labels missing over {len(names)} train "
+                    f"images using the role — raise --train or lower "
+                    f"--nouns_per_role")
+            counts[cur[donor]] -= 1
+            cur[donor] = noun
+            counts[noun] = 1
+            for frame in anns[donor]["frames"]:
                 frame[role] = noun
 
 
