@@ -19,8 +19,10 @@ Artifacts are device-portable (serialized StableHLO via ``jax.export``):
 export on CPU, serve on TPU, or vice versa.  ``BENCH_MODE=serving
 python bench.py`` times the loaded artifact end-to-end.
 
-Batch size is fixed at export time (static shapes for TPU serving); export
-several batch sizes if needed.
+Batch size is fixed at export time (static shapes for TPU serving), but
+``load_inference`` serves ANY leading batch size: short batches are
+zero-padded to the baked size and sliced back, long batches are chunked
+(``_over_chunks``) — an exactly-baked batch stays a single dispatch.
 
 Artifact size scales with the model (weights are constants): ~240 MB for
 the ResNet-152 parity model, ~620 MB for ViT-L/14.  On the development
@@ -133,11 +135,13 @@ def load_inference(path: str) -> Callable:
         meta = json.load(f)
 
     call = jax.jit(exported.call)
+    baked = int(meta["batch_size"])
 
     def fn(images_u8):
-        return call(_coerce(images_u8, np.uint8))
+        return _over_chunks(call, baked, (_coerce(images_u8, np.uint8),))
 
     fn.meta = meta
+    fn.batch_size = baked
     gt_path = os.path.join(path, "model_gt.stablehlo")
     if os.path.isfile(gt_path):
         with open(gt_path, "rb") as f:
@@ -145,11 +149,42 @@ def load_inference(path: str) -> Callable:
         call_gt = jax.jit(exported_gt.call)
 
         def gt(images_u8, verb_ids):
-            return call_gt(_coerce(images_u8, np.uint8),
-                           _coerce(verb_ids, np.int32))
+            return _over_chunks(call_gt, baked,
+                                (_coerce(images_u8, np.uint8),
+                                 _coerce(verb_ids, np.int32)))
 
         fn.gt = gt
     return fn
+
+
+def _over_chunks(call, baked: int, args):
+    """Serve ANY leading batch size through the fixed-batch artifact.
+
+    The exported StableHLO has a static batch (TPU serving shapes); a
+    caller with B != baked inputs would otherwise have to pad/split by
+    hand.  Split into baked-size chunks, zero-pad the final partial
+    chunk (zero images are numerically safe — eval-mode BN running
+    stats, no data-dependent control flow), and slice the concatenated
+    outputs back to B.  An exactly-baked batch passes through untouched
+    — the serving bench path stays a single dispatch."""
+    b = args[0].shape[0]
+    if b == baked:
+        return call(*args)
+    if b == 0:
+        raise ValueError("empty batch")
+    outs = []
+    for lo in range(0, b, baked):
+        chunk = tuple(a[lo:lo + baked] for a in args)
+        short = baked - chunk[0].shape[0]
+        if short:
+            chunk = tuple(jnp.concatenate(
+                [c, jnp.zeros((short,) + c.shape[1:], c.dtype)])
+                for c in chunk)
+        res = call(*chunk)
+        outs.append(res if isinstance(res, tuple) else (res,))
+    cat = tuple(jnp.concatenate([o[i] for o in outs])[:b]
+                for i in range(len(outs[0])))
+    return cat if len(cat) > 1 else cat[0]
 
 
 def _coerce(x, dtype):

@@ -47,6 +47,40 @@ def test_export_load_roundtrip(encoder, tmp_path):
         assert not np.allclose(gt_logits[0], np.asarray(noun_logits)[0])
 
 
+def test_serves_arbitrary_batch_sizes(encoder, tmp_path):
+    """The artifact bakes a static batch (TPU serving shapes) but the
+    loader must serve ANY leading batch size: short batches are
+    zero-padded to the baked size and sliced back; long batches are
+    chunked.  Outputs must equal the exactly-baked calls row-for-row."""
+    cfg = TrainerConfig(hidden=64, batch_size=8, backbone="mini",
+                        compute_dtype=jnp.float32)
+    tr = Trainer(encoder, cfg)
+    path = str(tmp_path / "artifact_ab")
+    export_inference(tr, path, batch_size=4)
+    fn = load_inference(path)
+    assert fn.batch_size == 4
+
+    rng = np.random.default_rng(1)
+    imgs = rng.integers(0, 255, (10, 256, 256, 3), dtype=np.uint8)
+    verbs = rng.integers(0, encoder.get_num_verbs(), 10).astype(np.int32)
+
+    # exactly-baked reference rows, batch by batch (with manual padding)
+    pad_i = np.concatenate([imgs, np.zeros((2, 256, 256, 3), np.uint8)])
+    pad_v = np.concatenate([verbs, np.zeros((2,), np.int32)])
+    want = [fn(pad_i[lo:lo + 4]) for lo in (0, 4, 8)]
+    want_gt = [fn.gt(pad_i[lo:lo + 4], pad_v[lo:lo + 4]) for lo in (0, 4, 8)]
+
+    for b in (1, 3, 4, 10):       # short, partial, exact, chunked
+        outs = fn(imgs[:b])
+        for i in range(3):
+            ref = np.concatenate([np.asarray(w[i]) for w in want])[:b]
+            np.testing.assert_allclose(np.asarray(outs[i]), ref,
+                                       rtol=1e-5, atol=1e-6)
+        gt = np.asarray(fn.gt(imgs[:b], verbs[:b]))
+        ref_gt = np.concatenate([np.asarray(w) for w in want_gt])[:b]
+        np.testing.assert_allclose(gt, ref_gt, rtol=1e-5, atol=1e-6)
+
+
 def test_export_is_multi_platform(encoder, tmp_path):
     """The artifact must be lowered for BOTH cpu and tpu — export() without
     `platforms` records only the exporting backend, and Exported.call()
