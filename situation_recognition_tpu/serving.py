@@ -34,6 +34,7 @@ compile locally.
 
 from __future__ import annotations
 
+import collections
 import json
 import os
 from typing import Callable
@@ -43,11 +44,63 @@ import jax.numpy as jnp
 import numpy as np
 
 # v2: adds the verb-conditioned entry (model_gt.stablehlo) + meta "entries"
-FORMAT_VERSION = 2
+# v3: adds meta "weights" (f32 | bf16 | int8 artifact weight encoding)
+FORMAT_VERSION = 3
+
+#: a quantized kernel leaf inside the param pytrees handed to the traced
+#: serve functions: ``q`` int8 values + per-output-channel f32 ``scale``
+_Quant = collections.namedtuple("_Quant", ["q", "scale"])
 
 
-def export_inference(trainer, path: str, batch_size: int = 1) -> None:
-    """Export the trainer's current model as a serving artifact directory."""
+def _quantize_tree(tree, weights: str):
+    """Re-encode the kernel leaves of a param pytree for the artifact.
+
+    ``bf16`` casts matmul/conv kernels (ndim >= 2, the multi-MB leaves) to
+    bfloat16 — the compute path casts them to the compute dtype at every
+    use anyway, so on a bf16 serving config this is numerically free and
+    halves the embedded constants.  ``int8`` stores them as symmetric
+    per-output-channel int8 with an f32 scale row (4x smaller); the
+    dequantize happens INSIDE the traced function (``_dequantize_tree``)
+    so the serialized StableHLO embeds the int8 constants — XLA
+    constant-folds the dequant at compile time, so runtime numerics equal
+    dequantized-weight execution.  1D leaves (biases, BN/LN stats and
+    scales — numerically load-bearing, size-irrelevant) always stay f32.
+    """
+    if weights == "f32":
+        return tree
+
+    def enc(w):
+        w = np.asarray(w)
+        if w.ndim < 2 or w.dtype != np.float32:
+            return w
+        if weights == "bf16":
+            return jnp.asarray(w, jnp.bfloat16)
+        scale = np.max(np.abs(w), axis=tuple(range(w.ndim - 1)),
+                       keepdims=True) / 127.0
+        scale = np.maximum(scale, 1e-12).astype(np.float32)
+        q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+        return _Quant(jnp.asarray(q), jnp.asarray(scale))
+
+    return jax.tree.map(enc, tree)
+
+
+def _dequantize_tree(tree):
+    """Inverse of :func:`_quantize_tree` inside the traced function."""
+    return jax.tree.map(
+        lambda x: (x.q.astype(jnp.float32) * x.scale
+                   if isinstance(x, _Quant) else x),
+        tree, is_leaf=lambda x: isinstance(x, _Quant))
+
+
+def export_inference(trainer, path: str, batch_size: int = 1,
+                     weights: str = "f32") -> None:
+    """Export the trainer's current model as a serving artifact directory.
+
+    ``weights``: artifact weight encoding — ``f32`` (exact), ``bf16``
+    (kernels cast; 2x smaller, numerically free under a bf16 compute
+    config), or ``int8`` (symmetric per-channel weight-only quantization;
+    4x smaller — e.g. under remote-compiler request-size caps — with
+    small, tested logit deviation)."""
     from situation_recognition_tpu.data.transforms import device_transform
 
     head = trainer.head
@@ -64,23 +117,29 @@ def export_inference(trainer, path: str, batch_size: int = 1) -> None:
         # fails to lower for the "cpu" platform (measured: ValueError
         # "Only interpret mode is supported on CPU backend")
         backbone = backbone.clone(block_impl="flax")
+    if weights not in ("f32", "bf16", "int8"):
+        raise ValueError(f"weights must be f32|bf16|int8, got {weights!r}")
     bvars = {"params": jax.device_get(trainer.backbone_params)}
     if trainer._backbone_has_bn:
         bvars["batch_stats"] = jax.device_get(trainer.backbone_stats)
-    hparams = {"params": jax.device_get(trainer.head_params)}
+    bvars = _quantize_tree(bvars, weights)
+    hparams = _quantize_tree({"params": jax.device_get(trainer.head_params)},
+                             weights)
     role_ids = trainer.role_ids
     role_mask = trainer.role_mask
     dtype = trainer.config.compute_dtype
 
     def _feats(images_u8):
         x = device_transform(images_u8, None, dtype=dtype)
-        return backbone.apply(bvars, x, train=False).astype(jnp.float32)
+        return backbone.apply(_dequantize_tree(bvars), x,
+                              train=False).astype(jnp.float32)
 
     def serve(images_u8):
         feats = _feats(images_u8)
-        verb_logits = head.apply(hparams, feats, method=head.predict_verb)
+        hp = _dequantize_tree(hparams)
+        verb_logits = head.apply(hp, feats, method=head.predict_verb)
         verb_ids = jnp.argmax(verb_logits, axis=1)
-        noun_logits = head.apply(hparams, feats, verb_ids, role_ids,
+        noun_logits = head.apply(hp, feats, verb_ids, role_ids,
                                  role_mask, method=head.predict_nouns)
         return verb_logits, verb_ids, noun_logits
 
@@ -88,8 +147,8 @@ def export_inference(trainer, path: str, batch_size: int = 1) -> None:
         # verb-conditioned entry: the reference's gt-verb path
         # (`--test_img --verb`, /root/reference/sr.py:249-261)
         feats = _feats(images_u8)
-        return head.apply(hparams, feats, verb_ids, role_ids, role_mask,
-                          method=head.predict_nouns)
+        return head.apply(_dequantize_tree(hparams), feats, verb_ids,
+                          role_ids, role_mask, method=head.predict_nouns)
 
     stub = jnp.zeros((batch_size, 256, 256, 3), jnp.uint8)
     vstub = jnp.zeros((batch_size,), jnp.int32)
@@ -110,6 +169,7 @@ def export_inference(trainer, path: str, batch_size: int = 1) -> None:
         json.dump({
             "format_version": FORMAT_VERSION,
             "batch_size": batch_size,
+            "weights": weights,
             "entries": {
                 "argmax": {"file": "model.stablehlo",
                            "signature": "images_u8 -> (verb_logits, "

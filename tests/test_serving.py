@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from situation_recognition_tpu.serving import export_inference, load_inference
 from situation_recognition_tpu.train import Trainer, TrainerConfig
@@ -81,6 +82,47 @@ def test_serves_arbitrary_batch_sizes(encoder, tmp_path):
         np.testing.assert_allclose(gt, ref_gt, rtol=1e-5, atol=1e-6)
 
 
+def test_quantized_weight_exports(encoder, tmp_path):
+    """weights="bf16"/"int8" re-encode the kernel constants embedded in
+    the artifact (2x / 4x smaller kernels — the lever that fits big
+    backbones under remote-compiler request-size caps): sizes must
+    strictly shrink and outputs stay within tight bounds of the f32
+    artifact (int8 is symmetric per-output-channel, measured ~0.4% of
+    logit scale on this model)."""
+    import os
+
+    cfg = TrainerConfig(hidden=64, batch_size=8, backbone="mini",
+                        compute_dtype=jnp.float32)
+    tr = Trainer(encoder, cfg)
+    rng = np.random.default_rng(2)
+    imgs = rng.integers(0, 255, (2, 256, 256, 3), dtype=np.uint8)
+    verbs = rng.integers(0, encoder.get_num_verbs(), 2).astype(np.int32)
+
+    outs, gt_outs, sizes = {}, {}, {}
+    for w in ("f32", "bf16", "int8"):
+        p = str(tmp_path / f"art_{w}")
+        export_inference(tr, p, batch_size=2, weights=w)
+        fn = load_inference(p)
+        assert fn.meta["weights"] == w
+        outs[w] = [np.asarray(o, np.float32) for o in fn(imgs)]
+        gt_outs[w] = np.asarray(fn.gt(imgs, verbs), np.float32)
+        sizes[w] = os.path.getsize(os.path.join(p, "model.stablehlo"))
+
+    assert sizes["int8"] < sizes["bf16"] < sizes["f32"], sizes
+    for w, tol in (("bf16", 0.01), ("int8", 0.03)):
+        for i in (0, 2):                      # verb_logits, noun_logits
+            d = np.max(np.abs(outs[w][i] - outs["f32"][i]))
+            s = np.max(np.abs(outs["f32"][i]))
+            assert d <= tol * s, (w, i, d, s)
+        np.testing.assert_array_equal(outs[w][1], outs["f32"][1])  # verb_ids
+        d = np.max(np.abs(gt_outs[w] - gt_outs["f32"]))
+        assert d <= tol * np.max(np.abs(gt_outs["f32"])), (w, d)
+
+    with pytest.raises(ValueError, match="weights"):
+        export_inference(tr, str(tmp_path / "bad"), batch_size=2,
+                         weights="int4")
+
+
 def test_export_is_multi_platform(encoder, tmp_path):
     """The artifact must be lowered for BOTH cpu and tpu — export() without
     `platforms` records only the exporting backend, and Exported.call()
@@ -142,3 +184,48 @@ def test_export_vit_pallas_backbone_is_portable(encoder, tmp_path,
     with open(os.path.join(path, "model.stablehlo"), "rb") as f:
         exported = jax.export.deserialize(f.read())
     assert set(p.lower() for p in exported.platforms) == {"cpu", "tpu"}
+
+
+@pytest.mark.slow
+def test_export_cli_tool(encoder, overfitting_json, tmp_path):
+    """tools/export_serving.py: checkpoint file -> artifact directory via
+    the CLI face, vocab rebuilt from the dataset folder's train.json;
+    the loaded artifact must match live inference."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from situation_recognition_tpu.utils.checkpoint import save_checkpoint
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = TrainerConfig(hidden=64, batch_size=8, backbone="mini",
+                        compute_dtype=jnp.float32)
+    tr = Trainer(encoder, cfg)
+    ckpt = str(tmp_path / "ckpt")
+    save_checkpoint(ckpt, {"epoch": 0, **tr.model_state_dict()})
+    ds = tmp_path / "imSitu"
+    ds.mkdir()
+    with open(ds / "train.json", "w") as f:
+        json.dump(overfitting_json, f)
+
+    out = str(tmp_path / "artifact_cli")
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "export_serving.py"),
+         ckpt, out, "--backbone", "mini", "--batch_size", "2",
+         "--weights", "bf16", "--dataset_folder", str(ds),
+         "--platform", "cpu"],
+        capture_output=True, text=True, timeout=600,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "entries argmax + gt" in r.stdout
+
+    fn = load_inference(out)
+    assert fn.meta["weights"] == "bf16"
+    assert fn.meta["verb_list"] == encoder.verb_list
+    rng = np.random.default_rng(3)
+    imgs = rng.integers(0, 255, (2, 256, 256, 3), dtype=np.uint8)
+    verb_logits, _, _ = fn(imgs)
+    live = np.asarray(tr.infer_verb(imgs))
+    d = np.max(np.abs(np.asarray(verb_logits, np.float32) - live))
+    assert d <= 0.01 * max(np.max(np.abs(live)), 1e-3), d
