@@ -178,3 +178,22 @@ def test_keep_cards_matches_oracle_cards(encoder):
     means = s.get_average_results_both()
     for k in means:
         assert means[k] == sum(c[k] for c in want) / len(want)
+
+
+def test_scorer_matches_oracle_at_flagship_vocab():
+    """Exact oracle agreement at the REAL dataset's widths (504 verbs /
+    6 roles / 2001 labels, role counts 1..6 across verbs) — the other
+    differential tests run on the tiny fixture vocab, which never
+    exercises wide top-k selections or the full role-count spread."""
+    from situation_recognition_tpu.data.encoder import ImsituEncoder
+
+    enc = ImsituEncoder.synthetic_full(seed=3)
+    assert enc.get_num_labels() == 2001 and enc.max_role_count == 6
+    for seed in (10, 11, 12):
+        batch = _random_batch(enc, 24, seed=seed)
+        for topk in (1, 5):
+            s = ImsituScorer(enc, topk, 3)
+            s.add_point_both(*(batch if topk == 1 else batch[:4]))
+            got = s.get_average_results_both()
+            want = oracle_means(oracle_cards(enc, topk, *batch))
+            assert got == want, (seed, topk)
