@@ -71,10 +71,14 @@ def _quantize_tree(tree, weights: str):
 
     def enc(w):
         w = np.asarray(w)
-        if w.ndim < 2 or w.dtype != np.float32:
+        # any float flavor qualifies (checkpoint converters preserve
+        # source dtypes — f16/bf16 kernels must not silently skip
+        # re-encoding and ship a full-size artifact labeled quantized)
+        if w.ndim < 2 or not jnp.issubdtype(w.dtype, jnp.floating):
             return w
         if weights == "bf16":
             return jnp.asarray(w, jnp.bfloat16)
+        w = w.astype(np.float32)
         scale = np.max(np.abs(w), axis=tuple(range(w.ndim - 1)),
                        keepdims=True) / 127.0
         scale = np.maximum(scale, 1e-12).astype(np.float32)
@@ -227,6 +231,12 @@ def _over_chunks(call, baked: int, args):
     stats, no data-dependent control flow), and slice the concatenated
     outputs back to B.  An exactly-baked batch passes through untouched
     — the serving bench path stays a single dispatch."""
+    sizes = {a.shape[0] for a in args}
+    if len(sizes) != 1:
+        # catch the caller's mismatch here — chunking would otherwise
+        # silently drop trailing rows of the longer argument
+        raise ValueError(f"argument batch sizes disagree: "
+                         f"{[a.shape[0] for a in args]}")
     b = args[0].shape[0]
     if b == baked:
         return call(*args)

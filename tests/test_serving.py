@@ -114,13 +114,51 @@ def test_quantized_weight_exports(encoder, tmp_path):
             d = np.max(np.abs(outs[w][i] - outs["f32"][i]))
             s = np.max(np.abs(outs["f32"][i]))
             assert d <= tol * s, (w, i, d, s)
-        np.testing.assert_array_equal(outs[w][1], outs["f32"][1])  # verb_ids
+        # argmax stability is only promised where the f32 top-2 margin
+        # exceeds the permitted logit deviation — a hair-thin margin may
+        # legitimately flip under quantization (or a numerics bump)
+        vl = outs["f32"][0]
+        top2 = np.sort(vl, axis=1)[:, -2:]
+        margin = top2[:, 1] - top2[:, 0]
+        stable = margin > 2 * tol * np.max(np.abs(vl))
+        np.testing.assert_array_equal(outs[w][1][stable],
+                                      outs["f32"][1][stable])
         d = np.max(np.abs(gt_outs[w] - gt_outs["f32"]))
         assert d <= tol * np.max(np.abs(gt_outs["f32"])), (w, d)
 
     with pytest.raises(ValueError, match="weights"):
         export_inference(tr, str(tmp_path / "bad"), batch_size=2,
                          weights="int4")
+
+    # mismatched leading batch sizes must error, not silently truncate
+    fn = load_inference(str(tmp_path / "art_f32"))
+    with pytest.raises(ValueError, match="batch sizes disagree"):
+        fn.gt(imgs[:1], np.zeros((3,), np.int32))
+
+
+def test_quantize_tree_covers_all_float_flavors():
+    """Checkpoint converters preserve source dtypes (f16/bf16 CLIP
+    weights); quantization must re-encode EVERY float kernel, not only
+    exact float32 — a silent skip ships a full-size artifact whose meta
+    claims it is quantized."""
+    from situation_recognition_tpu.serving import _Quant, _quantize_tree
+
+    tree = {
+        "f32": np.ones((4, 4), np.float32),
+        "f16": np.ones((4, 4), np.float16),
+        "bf16": jnp.ones((4, 4), jnp.bfloat16),
+        "bias": np.ones((4,), np.float32),          # 1D: always kept
+        "ids": np.ones((4, 4), np.int32),           # non-float: kept
+    }
+    q = _quantize_tree(tree, "int8")
+    for k in ("f32", "f16", "bf16"):
+        assert isinstance(q[k], _Quant), k
+        assert np.asarray(q[k].q).dtype == np.int8
+    assert q["bias"].dtype == np.float32 and q["ids"].dtype == np.int32
+
+    h = _quantize_tree(tree, "bf16")
+    for k in ("f32", "f16", "bf16"):
+        assert h[k].dtype == jnp.bfloat16, k
 
 
 def test_export_is_multi_platform(encoder, tmp_path):
