@@ -130,7 +130,10 @@ def main():
             export_inference, load_inference)
 
         art = tempfile.mkdtemp(prefix="srtpu_serving_")
-        export_inference(trainer, art, batch_size=batch)
+        # BENCH_WEIGHTS=f32|bf16|int8 selects the artifact weight encoding
+        # (int8 = 4x smaller kernels; see serving._quantize_tree)
+        weights = os.environ.get("BENCH_WEIGHTS", "f32")
+        export_inference(trainer, art, batch_size=batch, weights=weights)
         fn = load_inference(art)
         imgs = jax.device_put(batch_host["images"][:batch])
         verbs = jax.device_put(batch_host["verbs"][:batch])
@@ -149,13 +152,16 @@ def main():
             gt = fn.gt(imgs, verbs)
         float(np.asarray(gt)[0, 0, 0])
         dt_gt = time.perf_counter() - t0
-        print(json.dumps({
+        out = {
             "metric": "serving_images_per_sec_per_chip",
             "value": round(batch * steps / dt, 2),
             "unit": "img/s/chip",
             "step_ms": round(dt / steps * 1e3, 2),
             "gt_entry_step_ms": round(dt_gt / steps * 1e3, 2),
-        }))
+        }
+        if weights != "f32":
+            out["weights"] = weights
+        print(json.dumps(out))
         return
 
     if mode == "eval":
