@@ -215,27 +215,62 @@ class FCGGNNHead(nn.Module):
 # -------------------------------------------------------------------- losses
 
 
+def _verb_nll(pred_verb: jax.Array, gt_verb: jax.Array) -> jax.Array:
+    logp = jax.nn.log_softmax(pred_verb.astype(jnp.float32), axis=-1)
+    return -jnp.take_along_axis(logp, gt_verb[:, None], axis=-1)[:, 0]
+
+
 def verb_loss(pred_verb: jax.Array, gt_verb: jax.Array) -> jax.Array:
     """Mean cross-entropy (reference model.py:182-187)."""
-    logp = jax.nn.log_softmax(pred_verb.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, gt_verb[:, None], axis=-1)[:, 0]
-    return jnp.mean(nll)
+    return jnp.mean(_verb_nll(pred_verb, gt_verb))
+
+
+def verb_loss_masked(pred_verb: jax.Array, gt_verb: jax.Array,
+                     valid: jax.Array) -> jax.Array:
+    """verb_loss over the ``valid`` rows only — the padded-batch variant
+    the jitted train/eval steps use (wrapped pad rows must not count)."""
+    nll = _verb_nll(pred_verb, gt_verb)
+    return jnp.sum(nll * valid) / jnp.sum(valid)
 
 
 def nouns_loss(pred_nouns: jax.Array, gt_nouns: jax.Array,
                ignore_index: int) -> jax.Array:
     """Sum over the 3 annotations of CE with ignore_index semantics
     (reference model.py:189-201): each annotation's loss is the mean over
-    **non-ignored** (batch, role) positions, like torch CrossEntropyLoss.
+    **non-ignored** (batch, role) positions, like torch CrossEntropyLoss
+    — including torch's NaN when an annotation has NO non-ignored
+    position (tested parity quirk; the masked variant guards instead).
 
     pred_nouns (B, R, L), gt_nouns (B, 3, R).
     """
+    return _nouns_ce(pred_nouns, gt_nouns, ignore_index, None, False)
+
+
+def nouns_loss_masked(pred_nouns: jax.Array, gt_nouns: jax.Array,
+                      ignore_index: int, valid: jax.Array) -> jax.Array:
+    """nouns_loss restricted to ``valid`` rows, with the all-ignored
+    denominator guarded to 1 (a padded batch whose real rows are all
+    ignore_index must yield 0, not torch's NaN — pad rows are an
+    implementation artifact, not data)."""
+    return _nouns_ce(pred_nouns, gt_nouns, ignore_index,
+                     valid[:, None].astype(bool), True)
+
+
+def _nouns_ce(pred_nouns, gt_nouns, ignore_index, row_mask, guard_empty):
+    """Single implementation behind both nouns-loss flavors — the parity
+    (torch-NaN) and masked (guarded) semantics differ ONLY in the two
+    arguments, so a future parity fix lands in both."""
     logp = jax.nn.log_softmax(pred_nouns.astype(jnp.float32), axis=-1)  # (B,R,L)
     total = jnp.zeros((), jnp.float32)
     for n in range(3):
         labels = gt_nouns[:, n, :]                              # (B, R)
-        valid = labels != ignore_index
-        safe = jnp.where(valid, labels, 0)
+        ok = labels != ignore_index
+        if row_mask is not None:
+            ok = ok & row_mask
+        safe = jnp.where(ok, labels, 0)
         nll = -jnp.take_along_axis(logp, safe[:, :, None], axis=-1)[:, :, 0]
-        total = total + jnp.sum(jnp.where(valid, nll, 0.0)) / jnp.sum(valid)
+        denom = jnp.sum(ok)
+        if guard_empty:
+            denom = jnp.maximum(denom, 1)
+        total = total + jnp.sum(jnp.where(ok, nll, 0.0)) / denom
     return total

@@ -40,7 +40,9 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from situation_recognition_tpu.data.encoder import ImsituEncoder
 from situation_recognition_tpu.data.transforms import device_transform
 from situation_recognition_tpu.metrics.scorer import ImsituScorer, mean_of_eight
-from situation_recognition_tpu.models.fcggnn import FCGGNNHead
+from situation_recognition_tpu.models.fcggnn import (
+    FCGGNNHead, nouns_loss_masked as _masked_nouns_loss,
+    verb_loss_masked as _masked_verb_loss)
 from situation_recognition_tpu.models.resnet import ResNet
 from situation_recognition_tpu.models.vit import (
     VIT_WIDTHS, vit_b16, vit_l14, vit_l14_clip, vit_tiny)
@@ -126,25 +128,6 @@ def build_backbone(name: str, dtype, hidden: int):
     raise ValueError(f"unknown backbone {name!r}")
 
 
-def _masked_verb_loss(pred_verb, gt_verb, valid):
-    logp = jax.nn.log_softmax(pred_verb.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, gt_verb[:, None], axis=-1)[:, 0]
-    return jnp.sum(nll * valid) / jnp.sum(valid)
-
-
-def _masked_nouns_loss(pred_nouns, gt_nouns, ignore_index, valid):
-    logp = jax.nn.log_softmax(pred_nouns.astype(jnp.float32), axis=-1)
-    total = jnp.zeros((), jnp.float32)
-    for n in range(3):
-        labels = gt_nouns[:, n, :]
-        ok = (labels != ignore_index) & valid[:, None].astype(bool)
-        safe = jnp.where(ok, labels, 0)
-        nll = -jnp.take_along_axis(logp, safe[:, :, None], axis=-1)[:, :, 0]
-        total = total + jnp.sum(jnp.where(ok, nll, 0.0)) / jnp.maximum(
-            jnp.sum(ok), 1)
-    return total
-
-
 class Trainer:
     """Owns models, optimizer, mesh, and the compiled train/eval steps."""
 
@@ -208,6 +191,8 @@ class Trainer:
         #: its dataset, and re-enabling a cache replaces (not duplicates)
         #: the device copy.
         self._hbm_caches = weakref.WeakKeyDictionary()
+        #: all-rows-valid mask for full batches (_pad_batch fast path)
+        self._full_valid = np.ones((self.config.batch_size,), np.float32)
         self._cache_gather = jax.jit(lambda cache, rows: cache[rows],
                                      out_shardings=self._bsh)
 
@@ -422,6 +407,24 @@ class Trainer:
         """Pad to config.batch_size by wrapping; returns (arrays, valid, n)."""
         B = self.config.batch_size
         n = len(batch["verbs"])
+        if n > B:
+            raise ValueError(
+                f"loader batch of {n} exceeds config.batch_size {B}; "
+                f"build the loader at the trainer's batch size (the CLI "
+                f"rounds both together) — truncating here would silently "
+                f"drop examples")
+        if n == B:
+            # full batch (every step but the epoch's last partial one):
+            # pass the loader arrays straight through — the wrap-gather
+            # below would memcpy the whole uint8 image batch on the host
+            # (~1.2 GB/step at the flagship batch) for an identity index
+            out = {"flip": batch["flip"],
+                   "verbs": np.asarray(batch["verbs"], np.int32),
+                   "labels": np.asarray(batch["labels"], np.int32)}
+            for k in ("images", "indices"):
+                if k in batch:
+                    out[k] = batch[k]
+            return out, self._full_valid, n
         idx = np.arange(B) % n
         valid = (np.arange(B) < n).astype(np.float32)
         out = {
@@ -701,6 +704,11 @@ class Trainer:
             "backbone_stats": jax.device_get(self.backbone_stats),
             "opt_state": jax.device_get(
                 jax.tree.map(np.asarray, self.opt_state)),
+            # continues the dropout-key stream across epoch-boundary
+            # resumes (the mid-epoch save path already carries it; without
+            # this, a resumed run replays epoch 0's dropout masks and
+            # diverges from the uninterrupted trajectory)
+            "step_count": self.step_count,
         }
 
     def load_model_state(self, state: dict) -> None:
@@ -722,6 +730,8 @@ class Trainer:
         self.head_params = jax.device_put(self.head_params, self._head_sh)
         self.backbone_params = jax.device_put(self.backbone_params, self._repl)
         self.backbone_stats = jax.device_put(self.backbone_stats, self._repl)
+        if state.get("step_count") is not None:
+            self.step_count = int(state["step_count"])
         if state.get("opt_state") is not None:
             self.opt_state = self._place_opt_state(
                 serialization.from_state_dict(self.opt_state,

@@ -239,3 +239,47 @@ def test_frozen_bn_eval_stats_invariant(encoder, loaders):
                   for a, b in zip(jax.tree.leaves(before2),
                                   jax.tree.leaves(after2)))
     assert changed
+
+
+def test_epoch_boundary_resume_continues_dropout_stream(encoder, loaders):
+    """An epoch-boundary checkpoint must carry step_count so a resumed
+    run CONTINUES the per-step dropout-key stream instead of replaying
+    epoch 0's masks (the mid-epoch save path already preserved it; a
+    resumed trajectory must match the uninterrupted one).  Verified by
+    trajectory equality: train 2 epochs straight vs train 1 + resume 1
+    — identical params require identical dropout keys in epoch 1."""
+    import jax
+
+    train_loader, _ = loaders
+    cfg = TrainerConfig(hidden=64, batch_size=8, backbone="mini",
+                        compute_dtype=jnp.float32, lr=0.01)
+
+    straight = Trainer(encoder, cfg)
+    for e in range(2):
+        straight.train_epoch(train_loader, epoch=e)
+
+    first = Trainer(encoder, cfg)
+    first.train_epoch(train_loader, epoch=0)
+    assert first.step_count > 0
+
+    # round-trip through the REAL checkpoint path (fit's save +
+    # _load_resume's load), not a raw in-memory dict
+    import tempfile
+
+    from situation_recognition_tpu.utils.checkpoint import (
+        load_checkpoint, save_checkpoint)
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "sr_resume")
+        save_checkpoint(path, {"epoch": 1, **first.model_state_dict()})
+        state = load_checkpoint(path)
+    assert state["step_count"] == first.step_count
+
+    resumed = Trainer(encoder, cfg)
+    resumed.load_model_state(state)
+    assert resumed.step_count == first.step_count
+    resumed.train_epoch(train_loader, epoch=1)
+
+    for a, b in zip(jax.tree.leaves(straight.head_params),
+                    jax.tree.leaves(resumed.head_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
