@@ -245,6 +245,13 @@ def main(argv=None) -> None:
         # error up front instead of a ValueError traceback mid-startup
         parser.error('--cache_device and --cache_decoded are alternatives; '
                      'pick one')
+    if args.packed_dir and args.preproc == 'exact':
+        # same early-rejection rule (the dataset also refuses): the pack is
+        # short-side-normalized, and resampling it again to 224 breaks the
+        # reference-exact pixel parity the mode exists for
+        parser.error('--preproc exact needs original pixels; --packed_dir '
+                     'stores short-side-normalized images (double-resample '
+                     'breaks reference-exact parity)')
 
     # seed the stdlib RNG too (--subset samples via random.randrange like
     # the reference, sr.py:294-295; seeding makes the mode reproducible

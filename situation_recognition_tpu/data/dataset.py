@@ -32,7 +32,7 @@ import numpy as np
 
 from situation_recognition_tpu.data.encoder import ImsituEncoder
 from situation_recognition_tpu.data.transforms import (
-    CROP, WINDOW, host_window, host_window_exact)
+    CROP, WINDOW, host_window, host_window_exact, normalize_short_side)
 
 
 def _decode_image(path: str) -> np.ndarray:
@@ -99,6 +99,17 @@ class ImsituDataset:
         (the pack pre-applies ``normalize_short_side``)."""
         import json
 
+        if self.preproc == "exact":
+            # the pack is pre-resized to short-side 256; host_window_exact
+            # would then resize AGAIN to 224, chaining two bilinear
+            # resamples where the reference resizes the original once —
+            # silently breaking the mode's whole purpose (bit-faithful
+            # metric parity).  Exact mode must read original pixels.
+            raise ValueError(
+                "preproc='exact' cannot run from a packed store (already "
+                "short-side-normalized; double-resample breaks "
+                "reference-exact parity) — use the live image path")
+
         with open(os.path.join(packed_dir, "index.json")) as f:
             self._packed_index = json.load(f)
         missing = [n for n in self.names if n not in self._packed_index]
@@ -147,9 +158,6 @@ class ImsituDataset:
         cache = np.empty((len(self.names), S, S, 3), dtype=np.uint8)
         for i in range(len(self.names)):
             if self.train:
-                from situation_recognition_tpu.data.transforms import (
-                    normalize_short_side)
-
                 img = normalize_short_side(self.load_image(i))
                 if img.shape[:2] != (S, S):
                     raise ValueError(
@@ -199,6 +207,11 @@ class ImsituLoader:
         self.shuffle = shuffle
         self.seed = seed
         self.num_workers = max(1, num_workers)
+        if prefetch < 1:
+            # queue.Queue(maxsize=0) means UNBOUNDED — a 'no read-ahead'
+            # caller would instead get the whole epoch materialized in
+            # host RAM with zero backpressure
+            raise ValueError(f"prefetch must be >= 1, got {prefetch}")
         self.prefetch = prefetch
         self.drop_last = drop_last
         self.epoch = 0

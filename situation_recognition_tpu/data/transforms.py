@@ -90,7 +90,12 @@ def host_window(img: np.ndarray, train: bool, rng: np.random.Generator | None = 
 
     if train:
         if rng is None:
-            rng = np.random.default_rng()
+            # every in-repo train caller passes the per-(seed, epoch,
+            # index) stream; a silent OS-entropy fallback would make two
+            # same-seed runs diverge with no error (the determinism
+            # contract in data/dataset.py)
+            raise ValueError("host_window(train=True) requires the seeded "
+                             "rng — unseeded crops break determinism")
         oy = int(rng.integers(0, h - WINDOW + 1))
         ox = int(rng.integers(0, w - WINDOW + 1))
     else:
@@ -187,6 +192,17 @@ def device_transform(images_u8: jax.Array,
     uint8 LSB, far inside the documented PIL resample-order tolerance.
     """
     h, w = images_u8.shape[1], images_u8.shape[2]
+    if h == CROP and w == CROP:
+        # exact-preproc batches arrive pre-resized: the 224→224 triangle
+        # matrix is exactly I, so the two einsums below would burn
+        # ~100 GFLOP/batch (B=768) multiplying by a dense identity XLA
+        # cannot see through.  This branch is bit-identical to the matmul
+        # path (asserted in tests/test_data_pipeline.py).
+        z = images_u8.astype(jnp.float32)
+        if flip is not None:
+            z = jnp.where(flip[:, None, None, None], z[:, :, ::-1, :], z)
+        z = (z * (1.0 / 255.0) - IMAGENET_MEAN) / IMAGENET_STD
+        return z.astype(dtype)
     mdtype = dtype if dtype == jnp.bfloat16 else jnp.float32
     mh = jnp.asarray(_resize_matrix(h, CROP), dtype=mdtype)
     mw = mh if w == h else jnp.asarray(_resize_matrix(w, CROP), dtype=mdtype)

@@ -196,3 +196,10 @@ def test_cache_device_and_cache_decoded_rejected(workdir):
     r = run_cli(workdir, "--cache_device", "--cache_decoded", "--epochs", "1")
     assert r.returncode == 2
     assert "alternatives" in r.stderr
+
+
+def test_packed_with_exact_preproc_rejected(workdir):
+    r = run_cli(workdir, "--packed_dir", "somewhere", "--preproc", "exact",
+                "--evaluate_dev")
+    assert r.returncode == 2
+    assert "reference-exact parity" in r.stderr

@@ -297,3 +297,49 @@ def test_dataset_exact_mode(img_dir, encoder, overfitting_json):
                          .convert("RGB"))
         np.testing.assert_array_equal(batch["images"][slot],
                                       host_window_exact(img))
+
+
+def test_crop_sized_fast_path_bit_identical_to_matmul_path():
+    """device_transform's 224-input fast path (skip the identity-matrix
+    einsums) must be BIT-identical to the matmul formulation it replaces,
+    including the folded flip."""
+    import jax.numpy as jnp
+
+    from situation_recognition_tpu.data.transforms import _resize_matrix
+
+    rng = np.random.default_rng(7)
+    w = rng.integers(0, 255, (4, 224, 224, 3), dtype=np.uint8)
+    flip = np.array([True, False, True, False])
+    got = np.asarray(device_transform(jnp.asarray(w), jnp.asarray(flip)))
+
+    m = jnp.asarray(_resize_matrix(224, 224))
+    x = jnp.asarray(w).astype(jnp.float32)
+    y = jnp.einsum("bhwc,hH->bHwc", x, m,
+                   preferred_element_type=jnp.float32)
+    z = jnp.einsum("bHwc,wW->bHWc", y, m,
+                   preferred_element_type=jnp.float32)
+    zf = jnp.einsum("bHwc,wW->bHWc", y, m[:, ::-1],
+                    preferred_element_type=jnp.float32)
+    z = jnp.where(jnp.asarray(flip)[:, None, None, None], zf, z)
+    z = (z * (1.0 / 255.0) - IMAGENET_MEAN) / IMAGENET_STD
+    np.testing.assert_array_equal(got, np.asarray(z))
+
+
+def test_latent_api_guards(img_dir, encoder, overfitting_json):
+    """Fail-fast guards for API combinations with silent-wrong behavior:
+    unseeded train crops (irreproducible), prefetch=0 (queue.Queue treats
+    0 as UNBOUNDED — the whole epoch would materialize in host RAM), and
+    packed+exact (double-resample breaks reference-exact parity)."""
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (256, 300, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="seeded"):
+        host_window(img, train=True, rng=None)
+
+    ds = ImsituDataset(img_dir, overfitting_json, encoder, train=False)
+    with pytest.raises(ValueError, match="prefetch"):
+        ImsituLoader(ds, batch_size=5, shuffle=False, prefetch=0)
+
+    exact_ds = ImsituDataset(img_dir, overfitting_json, encoder,
+                             train=False, preproc="exact")
+    with pytest.raises(ValueError, match="packed"):
+        exact_ds.enable_packed("/nonexistent")
