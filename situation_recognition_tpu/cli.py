@@ -211,8 +211,7 @@ def _load_resume(trainer, path: str):
     from flax import serialization
 
     raw = torch_convert.load_torch_pickle(path)
-    sd = {k: np.asarray(v.detach().cpu().numpy())
-          for k, v in raw["model_state_dict"].items()}
+    sd = torch_convert.state_dict_numpy(raw["model_state_dict"])
     bparams, bstats, head = torch_convert.convert_reference_checkpoint(sd)
     opt_state = None
     osd = raw.get("optimizer_state_dict") or {}

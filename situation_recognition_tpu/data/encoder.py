@@ -232,12 +232,13 @@ class ImsituEncoder:
         window = T.host_window(np.asarray(img), train=False)
         return np.asarray(T.eval_transform(window[None]))[0]
 
-    def train_transform(self, img, rng=None) -> np.ndarray:
+    def train_transform(self, img, rng: np.random.Generator) -> np.ndarray:
         """Train preprocessing (random crop + flip) for one image
-        (reference imsitu_encoder.py:21-29)."""
+        (reference imsitu_encoder.py:21-29).  ``rng`` is required — a
+        silent OS-entropy fallback would make same-seed runs diverge
+        with no error (the determinism contract host_window enforces)."""
         from situation_recognition_tpu.data import transforms as T
 
-        rng = rng or np.random.default_rng()
         window = T.host_window(np.asarray(img), train=True, rng=rng)
         flip = np.asarray([rng.random() < 0.5])
         return np.asarray(T.device_transform(window[None], flip))[0]

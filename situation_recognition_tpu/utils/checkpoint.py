@@ -29,6 +29,12 @@ def save_checkpoint(path: str, state: Dict[str, Any]) -> None:
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(data)
+        # rename alone is atomic against READERS but not crash-durable:
+        # without the fsync a power loss can commit the rename before the
+        # data blocks, and since the save OVERWRITES the single checkpoint
+        # every epoch, the previous good one would be gone too
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, path)
 
 

@@ -39,6 +39,9 @@ class StepTimer:
         self._last = time.perf_counter()
 
     def stop(self, num_images: int) -> float:
+        if self._last is None:
+            raise RuntimeError("StepTimer.stop() without a matching "
+                               "start() (or after reset())")
         dt = time.perf_counter() - self._last
         self._steps += 1
         if self._steps > self.warmup_steps:

@@ -40,8 +40,24 @@ def load_torch_file(path: str) -> Dict[str, np.ndarray]:
     obj = load_torch_pickle(path)
     if isinstance(obj, dict) and "model_state_dict" in obj:
         obj = obj["model_state_dict"]
-    return {k: np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
-            for k, v in obj.items()}
+    return state_dict_numpy(obj)
+
+
+def state_dict_numpy(mapping) -> Dict[str, np.ndarray]:
+    """Flat torch mapping → {key: np.ndarray} (the single conversion
+    expression shared by load_torch_file and the checkpoint-mode callers
+    that also need the RAW checkpoint dict around it)."""
+    return {k: np.asarray(v.detach().cpu().numpy()
+                          if hasattr(v, "detach") else v)
+            for k, v in mapping.items()}
+
+
+def _put(tree: dict, path, leaf) -> None:
+    """Insert leaf at a nested path, creating intermediate dicts."""
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = leaf
 
 
 def _conv(w: np.ndarray) -> np.ndarray:
@@ -64,12 +80,7 @@ def convert_resnet(
     """
     params: dict = {}
     stats: dict = {}
-
-    def put(tree, path, leaf):
-        node = tree
-        for p in path[:-1]:
-            node = node.setdefault(p, {})
-        node[path[-1]] = leaf
+    put = _put
 
     def bn(dst_path, src):
         put(params, dst_path + ("scale",), state[src + ".weight"])
@@ -87,6 +98,12 @@ def convert_resnet(
          for k in state if (m := layer_re.match(k))})
     if not blocks:
         raise ValueError(f"no ResNet layers found under prefix {prefix!r}")
+    first = f"{p}layer{blocks[0][0]}.{blocks[0][1]}"
+    if f"{first}.conv3.weight" not in state:
+        raise ValueError(
+            "only Bottleneck ResNets (50/101/152) are supported; this "
+            "state_dict has BasicBlock layers (conv1/conv2 only — "
+            "resnet18/34 layout)")
 
     for stage, block in blocks:
         src = f"{p}layer{stage}.{block}"
@@ -304,12 +321,7 @@ def convert_adamax_state(
             f"{len(trainable)} trainable tensors: {trainable}")
     pstate = optimizer_state["state"]
     path_map = _head_param_map()
-
-    def put(tree, path, leaf):
-        node = tree
-        for p in path[:-1]:
-            node = node.setdefault(p, {})
-        node[path[-1]] = leaf
+    put = _put
 
     mu: dict = {}
     nu: dict = {}

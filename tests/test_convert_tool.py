@@ -170,3 +170,23 @@ def test_torch_magic_bytes_detected(tmp_path):
     p = tmp_path / "t.pth"
     torch.save({"x": torch.zeros(2)}, str(p))
     assert _is_torch_checkpoint(str(p))
+
+
+def test_basicblock_resnet_rejected():
+    """resnet18/34 (BasicBlock: conv1/conv2 only) must fail with a clear
+    unsupported-architecture error, not an opaque KeyError on conv3."""
+    from situation_recognition_tpu.utils.torch_convert import convert_resnet
+
+    def bn(prefix):
+        return {f"{prefix}.weight": np.ones(4, np.float32),
+                f"{prefix}.bias": np.zeros(4, np.float32),
+                f"{prefix}.running_mean": np.zeros(4, np.float32),
+                f"{prefix}.running_var": np.ones(4, np.float32)}
+
+    state = {"conv1.weight": np.zeros((4, 3, 7, 7), np.float32), **bn("bn1"),
+             "layer1.0.conv1.weight": np.zeros((4, 4, 3, 3), np.float32),
+             **bn("layer1.0.bn1"),
+             "layer1.0.conv2.weight": np.zeros((4, 4, 3, 3), np.float32),
+             **bn("layer1.0.bn2")}
+    with pytest.raises(ValueError, match="Bottleneck"):
+        convert_resnet(state)

@@ -55,8 +55,7 @@ def main():
         print(f"wrote backbone ({sum(np.asarray(x).size for x in _leaves(params)):,} params) -> {args.dst}")
     else:
         raw = torch_convert.load_torch_pickle(args.src)
-        sd = {k: np.asarray(v.detach().cpu().numpy())
-              for k, v in raw["model_state_dict"].items()}
+        sd = torch_convert.state_dict_numpy(raw["model_state_dict"])
         bparams, bstats, head = torch_convert.convert_reference_checkpoint(sd)
         opt_state = None
         osd = raw.get("optimizer_state_dict") or {}
