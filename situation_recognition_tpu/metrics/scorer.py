@@ -111,6 +111,14 @@ class ImsituScorer:
     ) -> None:
         verbs = np.asarray(verbs)
         labels = np.asarray(roles_nouns)
+        pred_verb_idx = np.asarray(pred_verb_idx)
+        if pred_verb_idx.ndim != 2 or pred_verb_idx.shape[0] != len(verbs):
+            # a (B,) slice (e.g. pv5[:, 0] instead of pv5[:, :1]) would
+            # broadcast (B,) == (B, 1) to (B, B) below and silently inflate
+            # the verb metric ~B-fold
+            raise ValueError(
+                f"pred_verb_idx must be (B, topk), got "
+                f"{pred_verb_idx.shape} for B={len(verbs)}")
         B, R = pred_noun_idx.shape[0], pred_noun_idx.shape[1]
 
         role_counts = self.encoder.role_counts[verbs]           # (B,)
@@ -166,6 +174,11 @@ class ImsituScorer:
     def load_state_dict(self, state: Dict) -> None:
         self._sums = {k: float(v) for k, v in state["sums"].items()}
         self._count = int(state["count"])
+        # per-example cards are NOT serialized (state_dict keeps only the
+        # accumulators); clear any live ones so a keep_cards scorer never
+        # reports len(self) != len(self.score_cards) after a restore
+        if self.keep_cards:
+            self.score_cards = []
 
     def get_average_results_both(self) -> Dict[str, float]:
         if self._count == 0:

@@ -256,12 +256,14 @@ def nouns_loss_masked(pred_nouns: jax.Array, gt_nouns: jax.Array,
                      valid[:, None].astype(bool), True)
 
 
-def _nouns_ce(pred_nouns, gt_nouns, ignore_index, row_mask, guard_empty):
-    """Single implementation behind both nouns-loss flavors — the parity
-    (torch-NaN) and masked (guarded) semantics differ ONLY in the two
-    arguments, so a future parity fix lands in both."""
+def nouns_ce_terms(pred_nouns, gt_nouns, ignore_index, row_mask=None):
+    """Per-annotation masked-CE ``(numerator, denominator)`` pairs — the
+    single CE implementation behind BOTH nouns-loss flavors and the
+    explicit-SPMD step (parallel/spmd.py), which psums the numerators and
+    denominators separately across shards so wrapped-padding rows are
+    excluded globally."""
     logp = jax.nn.log_softmax(pred_nouns.astype(jnp.float32), axis=-1)  # (B,R,L)
-    total = jnp.zeros((), jnp.float32)
+    terms = []
     for n in range(3):
         labels = gt_nouns[:, n, :]                              # (B, R)
         ok = labels != ignore_index
@@ -269,8 +271,19 @@ def _nouns_ce(pred_nouns, gt_nouns, ignore_index, row_mask, guard_empty):
             ok = ok & row_mask
         safe = jnp.where(ok, labels, 0)
         nll = -jnp.take_along_axis(logp, safe[:, :, None], axis=-1)[:, :, 0]
-        denom = jnp.sum(ok)
+        terms.append((jnp.sum(jnp.where(ok, nll, 0.0)),
+                      jnp.sum(ok).astype(jnp.float32)))
+    return terms
+
+
+def _nouns_ce(pred_nouns, gt_nouns, ignore_index, row_mask, guard_empty):
+    """Sum the per-annotation terms — the parity (torch-NaN) and masked
+    (guarded) semantics differ ONLY in the arguments, so a future parity
+    fix lands in both."""
+    total = jnp.zeros((), jnp.float32)
+    for num, den in nouns_ce_terms(pred_nouns, gt_nouns, ignore_index,
+                                   row_mask):
         if guard_empty:
-            denom = jnp.maximum(denom, 1)
-        total = total + jnp.sum(jnp.where(ok, nll, 0.0)) / denom
+            den = jnp.maximum(den, 1.0)
+        total = total + num / den
     return total

@@ -80,8 +80,20 @@ class EncoderBlock(nn.Module):
               and fused_block_supported(self.dim, self.heads, n, b,
                                         self.mlp_ratio))
         if self.block_impl == "pallas":
-            return ok and (self.interpret
-                           or jax.default_backend() == "tpu")
+            # an explicit force must fail loudly: a silent flax fallback
+            # lets a benchmark or kernel test believe the kernels ran when
+            # they didn't (numerically invisible — that's why the structural
+            # trace-count tests exist).  'auto' is the gated-fallback mode.
+            if not (ok and (self.interpret
+                            or jax.default_backend() == "tpu")):
+                raise ValueError(
+                    f"block_impl='pallas' forced but the fused kernels "
+                    f"cannot run this call: dtype={self.dtype}, tokens "
+                    f"{x.shape}, backend={jax.default_backend()!r}, "
+                    f"interpret={self.interpret} (needs bf16, d%128==0, "
+                    f"dh%64==0, batch*tokens>={1024}, and TPU or "
+                    f"interpret) — use block_impl='auto' for fallback")
+            return True
         return ok and jax.default_backend() == "tpu"
 
     @nn.compact

@@ -35,11 +35,26 @@ def make_mesh(num_devices: Optional[int] = None, model: int = 1,
     if devices is None:
         devices = jax.devices()
     if num_devices is not None:
+        if num_devices > len(devices):
+            # silently running on fewer devices would double the per-device
+            # batch relative to the caller's sizing math with no error
+            raise ValueError(f"requested {num_devices} devices but only "
+                             f"{len(devices)} are visible")
         devices = devices[:num_devices]
     n = len(devices)
     if n % model != 0:
         raise ValueError(f"{n} devices not divisible by model={model}")
-    arr = np.asarray(devices).reshape(n // model, model)
+    shape = (n // model, model)
+    try:
+        # topology-aware assignment: on multi-dim TPU slices the flat
+        # jax.devices() order can place a model group on non-adjacent
+        # chips, sending the classifier partial-sum all-reduce over slower
+        # links; mesh_utils picks a physical-neighbor layout
+        from jax.experimental import mesh_utils
+
+        arr = mesh_utils.create_device_mesh(shape, devices=list(devices))
+    except Exception:  # non-TPU backends / exotic shapes: order is moot
+        arr = np.asarray(devices).reshape(shape)
     return Mesh(arr, ("data", "model"))
 
 

@@ -51,59 +51,37 @@ def make_shardmap_train_step(trainer):
             "tensor parallelism (model_axis > 1) is served by the jit path")
     mesh = trainer.mesh
     head = trainer.head
-    backbone = trainer.backbone
-    has_bn = trainer._backbone_has_bn
     tx = trainer.tx
     role_ids = trainer.role_ids
     role_mask = trainer.role_mask
     num_labels = trainer.encoder.get_num_labels()
-    dtype = trainer.config.compute_dtype
+    # the backbone/BN dispatch is Trainer._features itself (explicit-arg
+    # method; per-SHARD batch stats fall out of shard_map tracing it on the
+    # local slice) — one implementation for both train paths
+    features = trainer._features
 
-    from situation_recognition_tpu.data.transforms import device_transform
+    from situation_recognition_tpu.models.fcggnn import (
+        _verb_nll, nouns_ce_terms)
 
-    # BN-only knob: non-BN backbones keep train=True (see train.py._forward)
-    bb_train = not has_bn or trainer.config.frozen_backbone_bn != "eval"
+    def local_nouns_terms(pred_nouns, labels, valid):
+        """Per-shard (numerator, denominator) pairs of the masked mean —
+        the SAME nouns_ce_terms the jit losses sum (one CE implementation;
+        here num/den psum separately so padding is excluded globally)."""
+        return nouns_ce_terms(pred_nouns, labels, num_labels,
+                              valid[:, None].astype(bool))
 
-    def local_forward(head_params, backbone_params, backbone_stats,
-                      images, flip, verbs, dropout_key):
-        x = device_transform(images, flip, dtype=dtype)
-        if has_bn and bb_train:
-            feats, updates = backbone.apply(
-                {"params": backbone_params, "batch_stats": backbone_stats},
-                x, train=True, mutable=["batch_stats"])
-            new_stats = updates["batch_stats"]
-        elif has_bn:
-            feats = backbone.apply(
-                {"params": backbone_params, "batch_stats": backbone_stats},
-                x, train=False)
-            new_stats = backbone_stats
-        else:
-            feats = backbone.apply({"params": backbone_params}, x,
-                                   train=True)
-            new_stats = backbone_stats
-        feats = jax.lax.stop_gradient(feats.astype(jnp.float32))
-        outs = head.apply({"params": head_params}, feats, verbs,
-                          role_ids, role_mask, train=True,
-                          rngs={"dropout": dropout_key})
-        return outs, new_stats
-
-    def local_loss_terms(outs, verbs, labels, valid):
-        """Per-shard (numerator, denominator) pairs for the masked means."""
-        pred_verb, pred_nouns, gt_pred_nouns = outs
-        logp_v = jax.nn.log_softmax(pred_verb.astype(jnp.float32), axis=-1)
-        nll_v = -jnp.take_along_axis(logp_v, verbs[:, None], axis=-1)[:, 0]
-        terms = [(jnp.sum(nll_v * valid), jnp.sum(valid))]
-        for pn in (pred_nouns, gt_pred_nouns):
-            logp = jax.nn.log_softmax(pn.astype(jnp.float32), axis=-1)
-            for n in range(3):
-                lab = labels[:, n, :]
-                ok = (lab != num_labels) & valid[:, None].astype(bool)
-                safe = jnp.where(ok, lab, 0)
-                nll = -jnp.take_along_axis(
-                    logp, safe[:, :, None], axis=-1)[:, :, 0]
-                terms.append((jnp.sum(jnp.where(ok, nll, 0.0)),
-                              jnp.sum(ok).astype(jnp.float32)))
-        return terms
+    def global_mean(terms, guarded=True):
+        """Local share of the global masked mean: local numerator over the
+        psum'd (stop-gradient'd — counts only, no param path) global
+        denominator.  Putting the psum'd loss itself under jax.grad would
+        be wrong twice over: psum's shard_map transpose re-psums the
+        replicated cotangent (an extra ×axis_size), and each shard would
+        still hold only its partial gradient."""
+        out = jnp.zeros((), jnp.float32)
+        for num, den in terms:
+            den = jax.lax.psum(jax.lax.stop_gradient(den), "data")
+            out = out + num / (jnp.maximum(den, 1.0) if guarded else den)
+        return out
 
     @partial(
         shard_map, mesh=mesh,
@@ -117,28 +95,32 @@ def make_shardmap_train_step(trainer):
         # decorrelate dropout across shards, like independent GPU RNGs
         shard_key = jax.random.fold_in(
             dropout_key, jax.lax.axis_index("data"))
+        # frozen backbone + BN-stat update hoisted out of the grad closure
+        # (nothing in it needs a gradient — same rule as the jit step)
+        feats, new_stats = features(
+            backbone_params, backbone_stats, images, flip, True)
 
         def loss_fn(hp):
-            outs, new_stats = local_forward(
-                hp, backbone_params, backbone_stats, images, flip, verbs,
-                shard_key)
-            terms = local_loss_terms(outs, verbs, labels, valid)
-            # Differentiate each shard's LOCAL SHARE of the global masked
-            # means: local numerator over the psum'd (stop-gradient'd —
-            # counts only, no param path) global denominator.  Putting the
-            # psum'd loss itself under jax.grad would be wrong twice over:
-            # psum's shard_map transpose re-psums the replicated cotangent
-            # (an extra ×axis_size), and each shard would still hold only
-            # its partial gradient.  grads are all-reduced explicitly below.
-            dens = [jax.lax.psum(jax.lax.stop_gradient(b), "data")
-                    for _, b in terms]
-            v_l = terms[0][0] / dens[0]
-            n_l = sum(terms[i][0] / jnp.maximum(dens[i], 1) for i in (1, 2, 3))
-            g_l = sum(terms[i][0] / jnp.maximum(dens[i], 1) for i in (4, 5, 6))
-            return v_l + n_l, (outs, new_stats, v_l, n_l, g_l)
+            pred_verb, pred_nouns = head.apply(
+                {"params": hp}, feats, role_ids, role_mask, train=True,
+                rngs={"dropout": shard_key}, method=head.predict_train)
+            v_l = global_mean([(jnp.sum(_verb_nll(pred_verb, verbs) * valid),
+                                jnp.sum(valid))], guarded=False)
+            n_l = global_mean(local_nouns_terms(pred_nouns, labels, valid))
+            # backprop loss = verb + pred-nouns only (sr.py:76)
+            return v_l + n_l, (pred_verb, pred_nouns, v_l, n_l)
 
-        grads, (outs, new_stats, v_l, n_l, g_l) = jax.grad(
+        grads, (pred_verb, pred_nouns, v_l, n_l) = jax.grad(
             loss_fn, has_aux=True)(head_params)
+        # gt noun branch OUTSIDE the grad closure — same rule (and dropout
+        # fold) as the jit step: its loss is logged, never backpropagated,
+        # and being undifferentiated it keeps the fused GGNN kernel primal
+        # instead of the custom_vjp's masked fwd rule
+        gt_pred_nouns = head.apply(
+            {"params": head_params}, feats, verbs, role_ids, role_mask,
+            train=True, rngs={"dropout": jax.random.fold_in(shard_key, 1)},
+            method=head.predict_nouns)
+        g_l = global_mean(local_nouns_terms(gt_pred_nouns, labels, valid))
         # DataParallel gradient all-reduce (the reference reduces on GPU0,
         # sr.py:469; on TPU the psum rides ICI); afterwards every shard
         # applies the identical update, preserving param replication
@@ -152,8 +134,7 @@ def make_shardmap_train_step(trainer):
         # per-shard BN stats → average across shards for the running state
         new_stats = jax.tree.map(
             lambda s: jax.lax.pmean(s, "data"), new_stats)
-        from situation_recognition_tpu.train import Trainer
-        pv5, pn5, gt1 = Trainer._topk(outs)
+        pv5, pn5, gt1 = trainer._topk((pred_verb, pred_nouns, gt_pred_nouns))
         return (head_params, opt_state, new_stats,
                 (vloss, nloss, gloss), (pv5, pn5, gt1))
 

@@ -197,3 +197,29 @@ def test_scorer_matches_oracle_at_flagship_vocab():
             got = s.get_average_results_both()
             want = oracle_means(oracle_cards(enc, topk, *batch))
             assert got == want, (seed, topk)
+
+
+def test_add_point_indices_rejects_1d_verb_slice(encoder):
+    """A (B,) verb slice (pv5[:, 0] instead of pv5[:, :1]) would broadcast
+    to (B, B) and silently inflate the verb metric ~B-fold — reject it."""
+    import pytest
+
+    batch = _random_batch(encoder, 8, seed=3)
+    pred_verbs, verbs, pred_nouns, labels, gt = batch
+    s = ImsituScorer(encoder, 1, 3)
+    pv = topk_indices(pred_verbs, 1)
+    pn = topk_indices(pred_nouns, 1)
+    g1 = topk_indices(gt, 1)
+    with pytest.raises(ValueError, match="topk"):
+        s.add_point_indices(pv[:, 0], verbs, pn, labels, g1)
+    s.add_point_indices(pv, verbs, pn, labels, g1)   # 2-D form fine
+    assert len(s) == 8
+
+
+def test_load_state_dict_clears_stale_cards(encoder):
+    batch = _random_batch(encoder, 8, seed=4)
+    s = ImsituScorer(encoder, 1, 3, keep_cards=True)
+    s.add_point_both(*batch)
+    state = s.state_dict()
+    s.load_state_dict(state)
+    assert len(s) == 8 and s.score_cards == []

@@ -200,3 +200,14 @@ def test_pallas_kernel_engages_in_train_step_gt_branch(encoder, monkeypatch):
     assert 1e-6 < rel(2) < 5e-3, (
         f"gt loss rel-diff {rel(2):.2e}: the fused kernel is not "
         "executing in the train step's gt branch (or diverged)")
+
+
+def test_make_mesh_rejects_overcommit():
+    """Asking for more devices than exist must error, not silently halve
+    the mesh (per-device batch would be 2x the caller's sizing math)."""
+    import pytest
+
+    from situation_recognition_tpu.parallel.mesh import make_mesh
+
+    with pytest.raises(ValueError, match="visible"):
+        make_mesh(num_devices=4096)

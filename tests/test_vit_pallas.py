@@ -285,3 +285,17 @@ def test_encoder_block_auto_is_flax_on_cpu():
     np.testing.assert_array_equal(
         np.asarray(auto.apply(v, x), np.float32),
         np.asarray(flax_block.apply(v, x), np.float32))
+
+
+def test_forced_pallas_raises_when_unsupported():
+    """block_impl='pallas' is an explicit force — it must fail loudly when
+    the kernels can't run (the silent flax fallback is numerically
+    invisible; 'auto' is the gated-fallback mode)."""
+    import jax
+
+    blk = EncoderBlock(dim=D, heads=HEADS, dtype=jnp.float32,  # not bf16
+                       block_impl="pallas", interpret=True)
+    x = jnp.zeros((B, N, D), jnp.float32)
+    v = blk.init(jax.random.PRNGKey(0), x)     # init always runs flax: OK
+    with pytest.raises(ValueError, match="forced"):
+        blk.apply(v, x)
