@@ -28,7 +28,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 REFERENCE_IMG_PER_SEC_PER_CHIP = 200.0
 
 
-def _claim_watchdog(timeout_s: float):
+def bench_batch_backbone(on_tpu: bool):
+    """The flagship bench defaults, shared with tools/bench_e2e.py: the
+    reference global batch 6144 over 8 chips = 768/chip."""
+    batch = int(os.environ.get("BENCH_BATCH", 768 if on_tpu else 8))
+    backbone = os.environ.get("BENCH_BACKBONE",
+                              "resnet152" if on_tpu else "mini")
+    return batch, backbone
+
+
+def _claim_watchdog(timeout_s: float, metric: str | None = None):
     """Guard the TPU device claim with a hard deadline.
 
     The axon tunnel's pool claim can wedge indefinitely on the remote
@@ -44,12 +53,14 @@ def _claim_watchdog(timeout_s: float):
 
     ok = threading.Event()
 
-    mode = os.environ.get("BENCH_MODE", "train")
+    if metric is None:
+        metric = (os.environ.get("BENCH_MODE", "train")
+                  + "_images_per_sec_per_chip")
 
     def watch():
         if not ok.wait(timeout_s):
             print(json.dumps({
-                "metric": f"{mode}_images_per_sec_per_chip",
+                "metric": metric,
                 "value": None,
                 "unit": "img/s/chip",
                 "error": (f"device claim did not complete within "
@@ -75,10 +86,8 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     claimed.set()
     # per-chip batch: reference global 6144 over 8 chips = 768/chip
-    batch = int(os.environ.get("BENCH_BATCH", 768 if on_tpu else 8))
+    batch, backbone = bench_batch_backbone(on_tpu)
     steps = int(os.environ.get("BENCH_STEPS", 20 if on_tpu else 3))
-    backbone = os.environ.get("BENCH_BACKBONE",
-                              "resnet152" if on_tpu else "mini")
     # BENCH_MODE=eval times the fwd-only eval step (the fused pallas GGNN
     # runs on every propagate there); default times the full train step
     # BENCH_MODE=serving times the LOADED export artifact (StableHLO via
@@ -164,17 +173,33 @@ def main():
         print(json.dumps(out))
         return
 
+    # AOT lower+compile ONCE and drive the loop through the same
+    # executable the MFU telemetry reads cost_analysis from — calling
+    # .lower().compile() after a jit-warmed loop would compile the
+    # identical step a SECOND time (the AOT path bypasses the jit cache),
+    # roughly doubling bench wall time on the serialized remote compiler
     if mode == "eval":
+        compiled = trainer._eval_step.lower(
+            trainer.head_params, trainer.backbone_params,
+            trainer.backbone_stats, arrays["images"], arrays["verbs"],
+            arrays["labels"], valid).compile()
+
         def step(i):
-            losses, topk = trainer._eval_step(
+            losses, topk = compiled(
                 trainer.head_params, trainer.backbone_params,
                 trainer.backbone_stats, arrays["images"], arrays["verbs"],
                 arrays["labels"], valid)
             return losses
     else:
+        compiled = trainer._train_step.lower(
+            trainer.head_params, trainer.opt_state,
+            trainer.backbone_params, trainer.backbone_stats,
+            jax.random.PRNGKey(0), arrays["images"], arrays["flip"],
+            arrays["verbs"], arrays["labels"], valid).compile()
+
         def step(i):
             key = jax.random.fold_in(jax.random.PRNGKey(0), i)
-            out = trainer._train_step(
+            out = compiled(
                 trainer.head_params, trainer.opt_state,
                 trainer.backbone_params, trainer.backbone_stats, key,
                 arrays["images"], arrays["flip"],
@@ -215,18 +240,7 @@ def main():
               "MFU/HBM figures", file=sys.stderr)
     mfu = hbm_util = None
     try:
-        if mode == "eval":
-            lowered = trainer._eval_step.lower(
-                trainer.head_params, trainer.backbone_params,
-                trainer.backbone_stats, arrays["images"], arrays["verbs"],
-                arrays["labels"], valid)
-        else:
-            lowered = trainer._train_step.lower(
-                trainer.head_params, trainer.opt_state,
-                trainer.backbone_params, trainer.backbone_stats,
-                jax.random.PRNGKey(0), arrays["images"],
-                arrays["flip"], arrays["verbs"], arrays["labels"], valid)
-        cost = lowered.compile().cost_analysis()
+        cost = compiled.cost_analysis()
         if gen in peaks and cost and cost.get("flops"):
             # cost_analysis reports the PER-DEVICE (SPMD-partitioned)
             # module's flops/bytes — verified empirically — so per-device

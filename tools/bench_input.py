@@ -40,16 +40,16 @@ def main():
         img_dir = args.img_dir
         names = sorted(os.listdir(img_dir))[: args.n]
     else:
-        from PIL import Image
+        from tools.common import synth_jpeg
 
         tmp = tempfile.mkdtemp(prefix="srtpu_input_bench_")
         rng = np.random.default_rng(0)
         names = []
         for i in range(args.n):
             name = f"synth_{i}.jpg"
-            low = rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)
-            Image.fromarray(low).resize((340, 256), Image.BILINEAR).save(
-                os.path.join(tmp, name), quality=90)
+            # non-square (340x256): exercises the long-axis window path
+            synth_jpeg(rng, os.path.join(tmp, name), wh=(340, 256),
+                       quality=90)
             names.append(name)
         img_dir = tmp
 

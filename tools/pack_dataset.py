@@ -42,8 +42,8 @@ def main():
     args = ap.parse_args()
 
     import numpy as np
-    from PIL import Image
 
+    from situation_recognition_tpu.data.dataset import _decode_image
     from situation_recognition_tpu.data.transforms import normalize_short_side
 
     if args.annotations:
@@ -64,8 +64,9 @@ def main():
     t0 = time.perf_counter()
     with open(os.path.join(args.out_dir, "images.bin"), "wb") as out:
         for i, name in enumerate(names):
-            with Image.open(os.path.join(args.img_dir, name)) as im:
-                img = np.asarray(im.convert("RGB"))
+            # the SAME decode the live loader uses — the pack's
+            # bit-identity guarantee holds by construction
+            img = _decode_image(os.path.join(args.img_dir, name))
             img = np.ascontiguousarray(normalize_short_side(img))
             h, w = img.shape[:2]
             out.write(img.tobytes())
