@@ -82,7 +82,10 @@ def build_parser() -> ArgumentParser:
     parser.add_argument('--ggnn', type=str, default='auto',
                         choices=['auto', 'masked', 'pallas'],
                         help='GGNN propagation implementation (auto: fused '
-                             'Pallas kernel on TPU, masked-sum XLA elsewhere)')
+                             'Pallas kernel on TPU at bf16, masked-sum XLA '
+                             'elsewhere; pallas: request the kernel — it '
+                             'computes bf16 internally and still falls back '
+                             'for unsupported widths/tiny row counts)')
     parser.add_argument('--frozen_bn', type=str, default='train',
                         choices=['train', 'eval'],
                         help='BN mode of the frozen backbone during train '

@@ -127,24 +127,35 @@ _VMEM_LIMIT_V4PLUS = 120 * 1024 * 1024
 _VMEM_LIMIT_LEGACY = 16 * 1024 * 1024
 
 
-@functools.lru_cache(maxsize=None)
+_vmem_cached: int | None = None
+
+
 def _vmem_limit() -> int:
     """Per-core VMEM budget for the resident-weight kernel, by detected TPU
     generation (device_kind like 'TPU v5 lite'); non-TPU backends (tests,
-    interpret mode) get the v4+ budget so support logic is the same."""
+    interpret mode) get the v4+ budget so support logic is the same.
+
+    Memoized ONLY on successful device enumeration: a transient backend
+    failure (the tunnel rig's documented claim errors) returns the
+    conservative legacy budget for that call and retries next time —
+    an lru_cache would freeze the optimistic default forever and approve
+    the d=2048 resident kernel on a 16 MB-VMEM core."""
     import re
 
-    kind = ""
+    global _vmem_cached
+    if _vmem_cached is not None:
+        return _vmem_cached
     try:
         devs = jax.devices()
-        if devs and devs[0].platform == "tpu":
-            kind = getattr(devs[0], "device_kind", "") or ""
     except Exception:
-        pass
+        return _VMEM_LIMIT_LEGACY          # transient: do not cache
+    kind = ""
+    if devs and devs[0].platform == "tpu":
+        kind = getattr(devs[0], "device_kind", "") or ""
     m = re.search(r"v(\d+)", kind)
-    if m and int(m.group(1)) < 4:
-        return _VMEM_LIMIT_LEGACY
-    return _VMEM_LIMIT_V4PLUS
+    _vmem_cached = (_VMEM_LIMIT_LEGACY if m and int(m.group(1)) < 4
+                    else _VMEM_LIMIT_V4PLUS)
+    return _vmem_cached
 
 
 _BLOCK_BYTES_PER_ELEM = 28   # in/out double buffers + f32 gate temporaries
@@ -267,7 +278,10 @@ def _pick_bm(m: int, r: int, d: int) -> int:
     if m <= unit:
         return m
     budget = _vmem_limit() - _weight_bytes(d)
-    cap = (min(576, m) // unit) * unit
+    # exotic role counts can have lcm(r, 16) above the 576 sweet-spot cap;
+    # a single lcm group is then the block (kernel_supported already
+    # verified its footprint fits — the gate and this picker MUST agree)
+    cap = max(unit, (min(576, m) // unit) * unit)
     while cap > unit and _block_footprint(cap, d) > budget:
         cap -= unit
     # among [cap/2, cap] (blocks below half-cap trade MXU efficiency for
@@ -343,6 +357,27 @@ def ggnn_propagate_pallas(params: GGNNParams, hidden, mask,
     the identical masked-sum formulation, which the module docstring's
     measurements show beats both a recompute-based and a residual-saving
     custom backward on this op.
+
+    Contract caveats vs the plain op:
+
+    * the kernel computes **bf16 internally** regardless of ``hidden``'s
+      dtype (that IS its MXU fast path) — ``resolve_ggnn_impl('auto')``
+      therefore only routes bf16 configs here; forcing ``'pallas'`` from
+      an fp32 config opts into bf16-class forward numerics (the
+      engagement tests do exactly this on purpose);
+    * this is a GATED request, not a hard force: unsupported widths
+      (d % 128 != 0, VMEM), tiny row counts (< _MIN_ROWS — e.g. the
+      batch-1 ``--test_img`` path, where sub-tile blocks stall the Mosaic
+      compiler), fall back to the masked op silently.  Unlike the ViT
+      block (an all-or-nothing backbone), the GGNN runs at many shapes
+      inside one CLI run, so a loud force would break legitimate
+      mixed-shape usage; the structural trace-count tests pin engagement
+      for the shapes that matter;
+    * ``mask`` is treated as a non-differentiable structural table: under
+      ``jax.grad`` its cotangent is None (zeros), where the plain op
+      would return a real mask gradient.  No supported configuration
+      differentiates the mask; a soft/learned-mask experiment must use
+      ``ggnn_propagate``.
     """
     b, r, d = hidden.shape
     if not kernel_supported(d, r) or b * r < _MIN_ROWS:

@@ -243,7 +243,7 @@ def _fused_impl(x, wq, bq, wk, bk, wv, bv, wo, bo, g1, bb1, g2, bb2,
                 attn_folded: bool = False):
     b_, n_, d_ = x.shape
     m = b_ * n_
-    bm = _BM if m % _BM == 0 or m > _BM else m
+    bm = min(m, _BM)
     pad = (-m) % bm
     x2 = x.reshape(m, d_)
     if pad:

@@ -101,12 +101,18 @@ def default_hidden(backbone: str) -> int:
     return 64 if backbone == "mini" else 2048
 
 
-def resolve_ggnn_impl(impl: str) -> str:
-    """'auto' → the fused Pallas kernel on TPU, masked-sum XLA elsewhere
-    (the kernel is measured faster on real hardware; on CPU it would run
-    in slow interpret mode).  Explicit choices pass through."""
+def resolve_ggnn_impl(impl: str, compute_dtype=jnp.bfloat16) -> str:
+    """'auto' → the fused Pallas kernel on TPU **at bf16**, masked-sum XLA
+    everywhere else.  The kernel computes bf16 internally (that IS its MXU
+    fast path), so auto must not pick it for an fp32 run — the forward-only
+    branches (eval, inference, the logged gt loss) would silently carry
+    bf16-class error while the user asked for fp32.  An explicit 'pallas'
+    passes through (documented bf16-internal semantics — how the
+    engagement tests drive the kernel from fp32 configs); 'masked' passes
+    through."""
     if impl == "auto":
-        return "pallas" if jax.default_backend() == "tpu" else "masked"
+        return ("pallas" if jax.default_backend() == "tpu"
+                and compute_dtype == jnp.bfloat16 else "masked")
     return impl
 
 
@@ -154,7 +160,7 @@ class Trainer:
             num_steps=config.num_ggnn_steps,
             dropout_rate=config.dropout_rate,
             dtype=dt,
-            ggnn_impl=resolve_ggnn_impl(config.ggnn_impl),
+            ggnn_impl=resolve_ggnn_impl(config.ggnn_impl, dt),
             ggnn_remat=config.ggnn_remat,
         )
         self.role_ids = jnp.asarray(encoder.role_ids)

@@ -200,3 +200,34 @@ def test_remat_request_routes_to_masked_path():
     want = ggnn_propagate(params, h, mask, num_steps=2)
     got = ggnn_propagate_pallas(params, h, mask, 2, True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_pick_bm_agrees_with_support_gate_exotic_role_counts():
+    """kernel_supported and _pick_bm MUST agree (their shared docstring
+    contract): every supported (d, r) must yield a feasible block — the
+    round-2 bug divided by zero whenever lcm(r, 16) exceeded the 576
+    sweet-spot cap (any odd r >= 37)."""
+    from situation_recognition_tpu.ops.ggnn_pallas import (
+        _min_block, kernel_supported, _pick_bm)
+
+    for r in range(1, 48):
+        if not kernel_supported(128, r):
+            continue
+        unit = _min_block(r)
+        for m in (unit, unit + r, 17 * r, 629 if r == 37 else 40 * r):
+            bm = _pick_bm(m, r, 128)
+            assert bm >= 1 and (m <= unit or bm % unit == 0), (r, m, bm)
+
+
+def test_auto_impl_requires_bf16():
+    """'auto' must not route an fp32 run onto the bf16-internal kernel
+    (silent forward-precision downgrade); explicit choices pass through."""
+    import jax.numpy as jnp
+
+    from situation_recognition_tpu.train import resolve_ggnn_impl
+
+    # CPU test rig: auto is masked either way; the dtype argument must
+    # never WIDEN kernel routing
+    assert resolve_ggnn_impl("auto", jnp.float32) == "masked"
+    assert resolve_ggnn_impl("pallas", jnp.float32) == "pallas"
+    assert resolve_ggnn_impl("masked", jnp.bfloat16) == "masked"
