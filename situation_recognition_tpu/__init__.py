@@ -25,3 +25,31 @@ and stdout format verbatim.
 __version__ = "0.1.0"
 
 from situation_recognition_tpu.data.encoder import ImsituEncoder  # noqa: F401
+
+# Lazy top-level re-exports of the user-facing API (PEP 562): the heavy
+# modules (train pulls optax/flax, serving pulls jax.export) load only
+# when first touched, so `import situation_recognition_tpu` stays cheap
+# for encoder-only consumers.
+_LAZY = {
+    "Trainer": "situation_recognition_tpu.train",
+    "TrainerConfig": "situation_recognition_tpu.train",
+    "ImsituDataset": "situation_recognition_tpu.data.dataset",
+    "ImsituLoader": "situation_recognition_tpu.data.dataset",
+    "ImsituScorer": "situation_recognition_tpu.metrics.scorer",
+    "mean_of_eight": "situation_recognition_tpu.metrics.scorer",
+    "export_inference": "situation_recognition_tpu.serving",
+    "load_inference": "situation_recognition_tpu.serving",
+    "make_mesh": "situation_recognition_tpu.parallel.mesh",
+}
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+
+        return getattr(importlib.import_module(_LAZY[name]), name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_LAZY))
