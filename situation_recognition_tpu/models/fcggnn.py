@@ -225,12 +225,21 @@ def verb_loss(pred_verb: jax.Array, gt_verb: jax.Array) -> jax.Array:
     return jnp.mean(_verb_nll(pred_verb, gt_verb))
 
 
+def verb_ce_term(pred_verb: jax.Array, gt_verb: jax.Array,
+                 valid: jax.Array):
+    """Masked verb-CE ``(numerator, denominator)`` — the single term
+    behind verb_loss_masked and the explicit-SPMD step (which psums the
+    pair across shards), mirroring nouns_ce_terms."""
+    nll = _verb_nll(pred_verb, gt_verb)
+    return jnp.sum(nll * valid), jnp.sum(valid)
+
+
 def verb_loss_masked(pred_verb: jax.Array, gt_verb: jax.Array,
                      valid: jax.Array) -> jax.Array:
     """verb_loss over the ``valid`` rows only — the padded-batch variant
     the jitted train/eval steps use (wrapped pad rows must not count)."""
-    nll = _verb_nll(pred_verb, gt_verb)
-    return jnp.sum(nll * valid) / jnp.sum(valid)
+    num, den = verb_ce_term(pred_verb, gt_verb, valid)
+    return num / den
 
 
 def nouns_loss(pred_nouns: jax.Array, gt_nouns: jax.Array,

@@ -61,7 +61,7 @@ def make_shardmap_train_step(trainer):
     features = trainer._features
 
     from situation_recognition_tpu.models.fcggnn import (
-        _verb_nll, nouns_ce_terms)
+        nouns_ce_terms, verb_ce_term)
 
     def local_nouns_terms(pred_nouns, labels, valid):
         """Per-shard (numerator, denominator) pairs of the masked mean —
@@ -104,8 +104,8 @@ def make_shardmap_train_step(trainer):
             pred_verb, pred_nouns = head.apply(
                 {"params": hp}, feats, role_ids, role_mask, train=True,
                 rngs={"dropout": shard_key}, method=head.predict_train)
-            v_l = global_mean([(jnp.sum(_verb_nll(pred_verb, verbs) * valid),
-                                jnp.sum(valid))], guarded=False)
+            v_l = global_mean([verb_ce_term(pred_verb, verbs, valid)],
+                              guarded=False)
             n_l = global_mean(local_nouns_terms(pred_nouns, labels, valid))
             # backprop loss = verb + pred-nouns only (sr.py:76)
             return v_l + n_l, (pred_verb, pred_nouns, v_l, n_l)
