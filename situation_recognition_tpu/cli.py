@@ -247,6 +247,9 @@ def main(argv=None) -> None:
         # error up front instead of a ValueError traceback mid-startup
         parser.error('--cache_device and --cache_decoded are alternatives; '
                      'pick one')
+    if args.packed_dir and args.cache_decoded:
+        parser.error('--packed_dir already removes decode from the input '
+                     'path; --cache_decoded would be silently ignored')
     if args.packed_dir and args.preproc == 'exact':
         # same early-rejection rule (the dataset also refuses): the pack is
         # short-side-normalized, and resampling it again to 224 breaks the
@@ -288,7 +291,8 @@ def main(argv=None) -> None:
 
     # encoder json is always train.json (reference behavior, sr.py:429-430)
     encoder_json = _load_json(pjoin(args.dataset_folder, 'train.json'))
-    train_json = _load_json(pjoin(args.dataset_folder, args.train_file))
+    train_json = (encoder_json if args.train_file == 'train.json'
+                  else _load_json(pjoin(args.dataset_folder, args.train_file)))
     dev_json = _load_json(pjoin(args.dataset_folder, args.dev_file))
     test_json = _load_json(pjoin(args.dataset_folder, args.test_file))
 
@@ -307,7 +311,7 @@ def main(argv=None) -> None:
             print('[srtpu] encoder file is a reference torch pickle; '
                   'rebuilding the (identical) vocab from train.json',
                   file=sys.stderr)
-            encoder = ImsituEncoder(encoder_json)
+            encoder = ImsituEncoder(encoder_json, verbose=False)
         else:
             encoder = ImsituEncoder.load(encoder_path)
 
@@ -327,19 +331,26 @@ def main(argv=None) -> None:
         print(f'[srtpu] batch_size rounded up to {batch} '
               f'(divisible by data axis {ndata})', file=sys.stderr)
 
-    # --cache_device scopes to the splits the selected mode batch-iterates
-    # (it eagerly decodes + uploads a whole split to HBM, and the TRAIN
-    # split's square-source requirement would otherwise reject
-    # `--cache_device --evaluate_dev` on real imSitu — the flag's primary
-    # use case — before the dev loader even exists)
+    # Build ONLY the splits the selected mode touches: dataset
+    # construction pre-encodes every annotation (seconds over real imSitu's
+    # ~125k records), and --cache_device additionally decodes + uploads the
+    # whole split to HBM — the TRAIN split's square-source gate would
+    # otherwise reject `--cache_device --evaluate_dev` on real imSitu (the
+    # flag's primary use case) before the dev loader even exists.
     if args.evaluate_dev:
-        device_cached = {'dev'}
+        need = {'dev'}
     elif args.evaluate_test:
-        device_cached = {'test'}
-    elif args.test_img or args.subset > 0:
-        device_cached = set()     # per-image paths, no batch iteration
+        need = {'test'}
+    elif args.test_img:
+        need = set()               # per-image path, no dataset iteration
+    elif args.subset > 0:
+        need = {'dev'}             # analize_subset indexes dev per image
     else:
-        device_cached = {'train', 'dev'}   # fit + its per-epoch dev eval
+        need = {'train', 'dev'}    # fit + its per-epoch dev eval
+
+    # batch-iterated splits get the HBM window cache; --subset only
+    # indexes per image, so caching would upload a split it never batches
+    device_cached = need if not (args.test_img or args.subset > 0) else set()
 
     def _prepare(dataset, split):
         if args.packed_dir:
@@ -354,23 +365,28 @@ def main(argv=None) -> None:
     # deliver a short batch every step, making _pad_batch wrap duplicate
     # rows into every step (wasted compute + skewed train-mode BN stats)
     # instead of only the final partial batch
-    train_set = _prepare(
-        ImsituDataset(args.imgset_dir, train_json, encoder, train=True),
-        'train')
-    train_loader = ImsituLoader(train_set, batch_size=batch,
-                                shuffle=True, seed=args.seed,
-                                num_workers=args.num_workers)
-    dev_set = _prepare(
-        ImsituDataset(args.imgset_dir, dev_json, encoder, train=False,
-                      preproc=args.preproc), 'dev')
-    dev_loader = ImsituLoader(dev_set, batch_size=batch,
-                              shuffle=False, num_workers=args.num_workers)
-    test_set = _prepare(
-        ImsituDataset(args.imgset_dir, test_json, encoder, train=False,
-                      preproc=args.preproc), 'test')
-    test_loader = ImsituLoader(test_set, batch_size=batch,
-                               shuffle=True, seed=args.seed,
-                               num_workers=args.num_workers)  # ref quirk
+    train_loader = dev_set = dev_loader = test_loader = None
+    if 'train' in need:
+        train_set = _prepare(
+            ImsituDataset(args.imgset_dir, train_json, encoder, train=True),
+            'train')
+        train_loader = ImsituLoader(train_set, batch_size=batch,
+                                    shuffle=True, seed=args.seed,
+                                    num_workers=args.num_workers)
+    if 'dev' in need:
+        dev_set = _prepare(
+            ImsituDataset(args.imgset_dir, dev_json, encoder, train=False,
+                          preproc=args.preproc), 'dev')
+        dev_loader = ImsituLoader(dev_set, batch_size=batch,
+                                  shuffle=False,
+                                  num_workers=args.num_workers)
+    if 'test' in need:
+        test_set = _prepare(
+            ImsituDataset(args.imgset_dir, test_json, encoder, train=False,
+                          preproc=args.preproc), 'test')
+        test_loader = ImsituLoader(test_set, batch_size=batch,
+                                   shuffle=True, seed=args.seed,
+                                   num_workers=args.num_workers)  # ref quirk
 
     from situation_recognition_tpu.train import default_hidden
     hidden = default_hidden(args.backbone)
@@ -401,7 +417,7 @@ def main(argv=None) -> None:
                 _save_backbone_msgpack(trainer, cache)
                 print(f'[srtpu] converted {default_bb} -> {cache} '
                       '(picked up automatically next run)', file=sys.stderr)
-        elif not args.resume_model:
+        elif len(args.resume_model) <= 1:   # same gate as the resume below
             # stderr: stdout stays byte-compatible with reference transcripts
             print('[srtpu] no pretrained backbone found (drop a torchvision '
                   f'.pth at {pjoin(args.saving_folder, "backbone.pth")}, or '

@@ -18,7 +18,7 @@ the dataset's ``img_dir`` so ``--imgset_dir`` works in subset mode.
 from __future__ import annotations
 
 import json
-from os.path import join as pjoin
+from os.path import isfile as pisfile, join as pjoin
 from random import randrange
 from typing import Dict, List, Tuple
 
@@ -145,8 +145,14 @@ def analize_subset(trainer, dev_set, encoder, size: int) -> None:
 
         print("&" * 35)
         print("Analizing: ", img_name)
-        pil_im = Image.open(
-            pjoin(dev_set.img_dir, img_name), "r")
+        path = pjoin(dev_set.img_dir, img_name)
+        if pisfile(path):
+            # reference display path (and its exact stdout repr)
+            pil_im = Image.open(path, "r")
+        else:
+            # packed store without originals on disk: display pixels from
+            # the dataset instead of crashing the whole analysis mid-loop
+            pil_im = Image.fromarray(dev_set.load_image(idx))
         display(pil_im)
 
         print("action ({:.2f}%): {}".format(verb_prob, verb_name))

@@ -160,6 +160,9 @@ def test_reference_pickle_encoder_cache_rebuilt(workdir):
         assert r.returncode == 0, r.stderr[-2000:]
         assert "Loading encoder file" in r.stdout
         assert "reference torch pickle" in r.stderr
+        # the reference's torch.load prints NO stats block — neither must
+        # the rebuild (stdout byte-compatibility)
+        assert "train set stats" not in r.stdout
         assert "=> evaluating model with dev-set..." in r.stdout
     finally:
         shutil.rmtree(folder, ignore_errors=True)
@@ -203,3 +206,33 @@ def test_packed_with_exact_preproc_rejected(workdir):
                 "--evaluate_dev")
     assert r.returncode == 2
     assert "reference-exact parity" in r.stderr
+
+
+def test_one_char_resume_name_still_warns_random_backbone(workdir):
+    """--resume_model with a length-1 name never resumes (the reference's
+    `len > 1` quirk); the random-backbone warning must use the SAME gate —
+    it was previously suppressed by mere truthiness, silently training
+    from scratch with no signal either way."""
+    r = run_cli(workdir, "--epochs", "1", "--resume_model", "m",
+                "--saving_folder", "ckpt_onechar")
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "Resume training from" not in r.stdout
+    assert "no pretrained backbone found" in r.stderr
+
+
+def test_subset_mode_works_from_packed_store(workdir, tmp_path):
+    """--subset under --packed_dir with NO original JPEGs on disk: the
+    display image must come from the dataset (the pack), not a re-open of
+    the original file (which crashed the whole analysis mid-loop)."""
+    pack = str(tmp_path / "pack")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "pack_dataset.py"),
+         os.path.join(workdir, "resized_256"), pack],
+        capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    empty = tmp_path / "no_images"
+    empty.mkdir()
+    r = run_cli(workdir, "--subset", "2", "--packed_dir", pack,
+                "--imgset_dir", str(empty))
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "Analizing: " in r.stdout
