@@ -333,12 +333,14 @@ def _reference_block(x, wq, bq, wk, bk, wv, bv, wo, bo, g1, bb1, g2, bb2,
 
 
 def _attn_core_variant() -> str:
-    """Attention-core softmax flavor: ``softmax`` (baseline, f32
-    ``jax.nn.softmax`` on the N×N scores) or ``exp2`` (scale/log2e
-    folded into q, denominator folded into the context rows).  Env
-    knob ``SRTPU_ATTN_CORE`` until the exp2 variant's chip timing is
-    recorded; then the winner becomes the default."""
-    v = os.environ.get("SRTPU_ATTN_CORE", "softmax")
+    """Attention-core softmax flavor: ``exp2`` (default — scale/log2e
+    folded into q, denominator folded into the context rows) or
+    ``softmax`` (baseline, f32 ``jax.nn.softmax`` on the N×N scores).
+    Chip-timed via tools/bench_vit_block.py (v5e, B=256/N=257/D=1024):
+    exp2 14.68 vs softmax 15.10 ms/block, identical bf16-class numerics
+    vs flax — so exp2 is the default; ``SRTPU_ATTN_CORE=softmax``
+    restores the baseline core."""
+    v = os.environ.get("SRTPU_ATTN_CORE", "exp2")
     if v not in ("softmax", "exp2"):
         raise ValueError(f"SRTPU_ATTN_CORE must be softmax|exp2, got {v!r}")
     return v

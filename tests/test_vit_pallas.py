@@ -91,7 +91,10 @@ def test_fused_kernels_exp2_attn_core_interpret():
 
 def test_attn_core_variant_env(monkeypatch):
     from situation_recognition_tpu.ops.vit_pallas import _attn_core_variant
-    assert _attn_core_variant() in ("softmax", "exp2")
+    monkeypatch.delenv("SRTPU_ATTN_CORE", raising=False)
+    assert _attn_core_variant() == "exp2"      # chip-timed default (PERF.md)
+    monkeypatch.setenv("SRTPU_ATTN_CORE", "softmax")
+    assert _attn_core_variant() == "softmax"
     monkeypatch.setenv("SRTPU_ATTN_CORE", "exp2")
     assert _attn_core_variant() == "exp2"
     monkeypatch.setenv("SRTPU_ATTN_CORE", "bogus")
