@@ -140,9 +140,13 @@ def main():
 
         art = tempfile.mkdtemp(prefix="srtpu_serving_")
         # BENCH_WEIGHTS=f32|bf16|int8 selects the artifact weight encoding
-        # (int8 = 4x smaller kernels; see serving._quantize_tree)
+        # (int8 = 4x smaller kernels; see serving._quantize_tree);
+        # BENCH_BAKE=0 benches a weights-external artifact (side-file
+        # weights, program-only StableHLO — serving.export_inference)
         weights = os.environ.get("BENCH_WEIGHTS", "f32")
-        export_inference(trainer, art, batch_size=batch, weights=weights)
+        bake = os.environ.get("BENCH_BAKE", "1") != "0"
+        export_inference(trainer, art, batch_size=batch, weights=weights,
+                         bake_weights=bake)
         fn = load_inference(art)
         imgs = jax.device_put(batch_host["images"][:batch])
         verbs = jax.device_put(batch_host["verbs"][:batch])
@@ -170,6 +174,8 @@ def main():
         }
         if weights != "f32":
             out["weights"] = weights
+        if not bake:
+            out["bake_weights"] = False
         print(json.dumps(out))
         return
 

@@ -28,8 +28,14 @@ Artifact size scales with the model (weights are constants): ~240 MB for
 the ResNet-152 parity model, ~620 MB for ViT-L/14.  On the development
 rig the ViT artifact exports and loads but its first compile trips the
 axon remote-compiler's request-size limit (HTTP 413) — an infrastructure
-cap of the tunnel, not a property of the artifact; production TPU hosts
-compile locally.
+cap of the tunnel, not a property of the artifact (production TPU hosts
+compile locally); int8 weight encoding (299 MB/entry) still exceeds it.
+``bake_weights=False`` is the escape hatch: weights ship as a
+``weights.msgpack`` side file and the StableHLO takes them as a runtime
+argument, so the compile payload is program-only (~1 MB) and the weights
+travel the ordinary device-transfer path once at load.  Quantized
+encodings compose with it (the side file shrinks the same 2x/4x and the
+in-graph dequantize is unchanged).
 """
 
 from __future__ import annotations
@@ -45,7 +51,8 @@ import numpy as np
 
 # v2: adds the verb-conditioned entry (model_gt.stablehlo) + meta "entries"
 # v3: adds meta "weights" (f32 | bf16 | int8 artifact weight encoding)
-FORMAT_VERSION = 3
+# v4: adds weights-external artifacts (meta "bake_weights"/"weights_file")
+FORMAT_VERSION = 4
 
 #: a quantized kernel leaf inside the param pytrees handed to the traced
 #: serve functions: ``q`` int8 values + per-output-channel f32 ``scale``
@@ -88,23 +95,52 @@ def _quantize_tree(tree, weights: str):
     return jax.tree.map(enc, tree)
 
 
+def _is_quant(x) -> bool:
+    # quant nodes appear as _Quant in-process and as {"q","scale"} marker
+    # dicts when round-tripped through the weights side file (msgpack has
+    # no namedtuples).  No real param subtree has exactly these keys (BN/LN
+    # use scale+bias / mean+var), so the sniff is unambiguous.
+    return isinstance(x, _Quant) or (isinstance(x, dict)
+                                     and set(x) == {"q", "scale"})
+
+
 def _dequantize_tree(tree):
     """Inverse of :func:`_quantize_tree` inside the traced function."""
+    def deq(x):
+        if isinstance(x, _Quant):
+            return x.q.astype(jnp.float32) * x.scale
+        if isinstance(x, dict):
+            return x["q"].astype(jnp.float32) * x["scale"]
+        return x
+
+    return jax.tree.map(deq, tree, is_leaf=_is_quant)
+
+
+def _as_plain(tree):
+    """_Quant leaves → {"q","scale"} marker dicts, so the tree is a plain
+    dict pytree: msgpack-serializable for the side file AND structurally
+    identical between export trace and loader call."""
     return jax.tree.map(
-        lambda x: (x.q.astype(jnp.float32) * x.scale
-                   if isinstance(x, _Quant) else x),
-        tree, is_leaf=lambda x: isinstance(x, _Quant))
+        lambda x: {"q": x.q, "scale": x.scale} if isinstance(x, _Quant)
+        else x, tree, is_leaf=lambda x: isinstance(x, _Quant))
 
 
 def export_inference(trainer, path: str, batch_size: int = 1,
-                     weights: str = "f32") -> None:
+                     weights: str = "f32", bake_weights: bool = True) -> None:
     """Export the trainer's current model as a serving artifact directory.
 
     ``weights``: artifact weight encoding — ``f32`` (exact), ``bf16``
     (kernels cast; 2x smaller, numerically free under a bf16 compute
     config), or ``int8`` (symmetric per-channel weight-only quantization;
     4x smaller — e.g. under remote-compiler request-size caps — with
-    small, tested logit deviation)."""
+    small, tested logit deviation).
+
+    ``bake_weights=False`` writes the weights to ``weights.msgpack``
+    instead of embedding them as StableHLO constants: the program files
+    shrink to ~1 MB (compile requests are program-only — the fix for
+    remote-compiler request-size caps that quantization alone cannot
+    clear on big backbones) and ``load_inference`` puts the side file on
+    device once.  Composes with ``weights=`` encodings."""
     from situation_recognition_tpu.data.transforms import device_transform
 
     head = trainer.head
@@ -133,38 +169,52 @@ def export_inference(trainer, path: str, batch_size: int = 1,
     role_mask = trainer.role_mask
     dtype = trainer.config.compute_dtype
 
-    def _feats(images_u8):
+    def _feats(w, images_u8):
         x = device_transform(images_u8, None, dtype=dtype)
-        return backbone.apply(_dequantize_tree(bvars), x,
+        return backbone.apply(_dequantize_tree(w["backbone"]), x,
                               train=False).astype(jnp.float32)
 
-    def serve(images_u8):
-        feats = _feats(images_u8)
-        hp = _dequantize_tree(hparams)
+    def serve(w, images_u8):
+        feats = _feats(w, images_u8)
+        hp = _dequantize_tree(w["head"])
         verb_logits = head.apply(hp, feats, method=head.predict_verb)
         verb_ids = jnp.argmax(verb_logits, axis=1)
         noun_logits = head.apply(hp, feats, verb_ids, role_ids,
                                  role_mask, method=head.predict_nouns)
         return verb_logits, verb_ids, noun_logits
 
-    def serve_gt(images_u8, verb_ids):
+    def serve_gt(w, images_u8, verb_ids):
         # verb-conditioned entry: the reference's gt-verb path
         # (`--test_img --verb`, /root/reference/sr.py:249-261)
-        feats = _feats(images_u8)
-        return head.apply(_dequantize_tree(hparams), feats, verb_ids,
+        feats = _feats(w, images_u8)
+        return head.apply(_dequantize_tree(w["head"]), feats, verb_ids,
                           role_ids, role_mask, method=head.predict_nouns)
 
+    wtree = _as_plain({"backbone": bvars, "head": hparams})
     stub = jnp.zeros((batch_size, 256, 256, 3), jnp.uint8)
     vstub = jnp.zeros((batch_size,), jnp.int32)
+    os.makedirs(path, exist_ok=True)
+    if bake_weights:
+        entry = lambda f: jax.jit(lambda *a: f(wtree, *a))  # noqa: E731
+        args, args_gt = (stub,), (stub, vstub)
+    else:
+        entry = jax.jit
+        wstub = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(np.shape(x),
+                                           jnp.asarray(x).dtype), wtree)
+        args, args_gt = (wstub, stub), (wstub, stub, vstub)
+        from flax import serialization
+        with open(os.path.join(path, "weights.msgpack"), "wb") as f:
+            f.write(serialization.msgpack_serialize(
+                jax.tree.map(np.asarray, wtree)))
     # lower for BOTH platforms — export() without `platforms` records only
     # the exporting machine's backend and Exported.call() refuses to run
     # anywhere else, breaking the export-on-CPU/serve-on-TPU promise
-    exported = jax.export.export(jax.jit(serve),
-                                 platforms=["cpu", "tpu"])(stub)
-    exported_gt = jax.export.export(jax.jit(serve_gt),
-                                    platforms=["cpu", "tpu"])(stub, vstub)
+    exported = jax.export.export(entry(serve),
+                                 platforms=["cpu", "tpu"])(*args)
+    exported_gt = jax.export.export(entry(serve_gt),
+                                    platforms=["cpu", "tpu"])(*args_gt)
 
-    os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, "model.stablehlo"), "wb") as f:
         f.write(exported.serialize())
     with open(os.path.join(path, "model_gt.stablehlo"), "wb") as f:
@@ -174,6 +224,8 @@ def export_inference(trainer, path: str, batch_size: int = 1,
             "format_version": FORMAT_VERSION,
             "batch_size": batch_size,
             "weights": weights,
+            "bake_weights": bake_weights,
+            **({} if bake_weights else {"weights_file": "weights.msgpack"}),
             "entries": {
                 "argmax": {"file": "model.stablehlo",
                            "signature": "images_u8 -> (verb_logits, "
@@ -198,7 +250,17 @@ def load_inference(path: str) -> Callable:
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
 
-    call = jax.jit(exported.call)
+    if meta.get("bake_weights", True):      # format_version < 4 is baked
+        bind = lambda call: call            # noqa: E731
+    else:
+        # weights-external artifact: put the side file on device ONCE and
+        # bind it as the entries' leading argument
+        from flax import serialization
+        with open(os.path.join(path, meta["weights_file"]), "rb") as f:
+            w = jax.device_put(serialization.msgpack_restore(f.read()))
+        bind = lambda call: (lambda *a: call(w, *a))  # noqa: E731
+
+    call = bind(jax.jit(exported.call))
     baked = int(meta["batch_size"])
 
     def fn(images_u8):
@@ -210,7 +272,7 @@ def load_inference(path: str) -> Callable:
     if os.path.isfile(gt_path):
         with open(gt_path, "rb") as f:
             exported_gt = jax.export.deserialize(f.read())
-        call_gt = jax.jit(exported_gt.call)
+        call_gt = bind(jax.jit(exported_gt.call))
 
         def gt(images_u8, verb_ids):
             return _over_chunks(call_gt, baked,

@@ -14,9 +14,13 @@ Usage:
       [--dataset_folder imSitu] [--precision fp32|bf16]
 
 ``--weights bf16|int8`` re-encodes the kernel constants (2x / 4x
-smaller — the lever that fits big backbones under remote-compiler
-request-size caps) with tested logit deviation bounds
+smaller) with tested logit deviation bounds
 (tests/test_serving.py::test_quantized_weight_exports).
+``--external`` writes the weights to a ``weights.msgpack`` side file
+instead of baking them into the StableHLO: the program files become
+~1 MB, which is the fix for remote-compiler request-size caps that
+quantization alone cannot clear on big backbones (a ViT-L/14 entry is
+still 299 MB at int8).
 
 The encoder vocabulary is rebuilt from ``<dataset_folder>/train.json``
 (the reference's own rule — the checkpoint stores no vocab), so export
@@ -48,6 +52,10 @@ def main(argv=None):
                     choices=["f32", "bf16", "int8"],
                     help="artifact weight encoding (f32 exact; bf16 2x "
                          "smaller kernels; int8 4x, per-channel symmetric)")
+    ap.add_argument("--external", action="store_true",
+                    help="ship weights as a weights.msgpack side file "
+                         "instead of StableHLO constants (program files "
+                         "~1 MB; loads with one device_put)")
     ap.add_argument("--dataset_folder", default="imSitu",
                     help="folder whose train.json defines the vocabulary")
     ap.add_argument("--precision", default="fp32",
@@ -86,11 +94,12 @@ def main(argv=None):
     _load_resume(trainer, args.checkpoint)
 
     export_inference(trainer, args.out, batch_size=args.batch_size,
-                     weights=args.weights)
+                     weights=args.weights, bake_weights=not args.external)
     total = sum(os.path.getsize(os.path.join(args.out, f))
                 for f in os.listdir(args.out))
+    placement = "external" if args.external else "baked"
     print(f"exported {args.out} (batch {args.batch_size}, "
-          f"weights {args.weights}, {total / 1e6:.1f} MB): "
+          f"weights {args.weights} {placement}, {total / 1e6:.1f} MB): "
           f"entries argmax + gt")
 
 
