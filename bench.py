@@ -143,10 +143,14 @@ def main():
         # (int8 = 4x smaller kernels; see serving._quantize_tree);
         # BENCH_BAKE=0 benches a weights-external artifact (side-file
         # weights, program-only StableHLO — serving.export_inference)
+        # BENCH_TARGET=tpu benches a TPU-native artifact (fused Pallas
+        # kernels kept in the exported program — serving.export_inference
+        # platform="tpu")
         weights = os.environ.get("BENCH_WEIGHTS", "f32")
         bake = os.environ.get("BENCH_BAKE", "1") != "0"
+        target = os.environ.get("BENCH_TARGET", "portable")
         export_inference(trainer, art, batch_size=batch, weights=weights,
-                         bake_weights=bake)
+                         bake_weights=bake, platform=target)
         fn = load_inference(art)
         imgs = jax.device_put(batch_host["images"][:batch])
         verbs = jax.device_put(batch_host["verbs"][:batch])
@@ -176,6 +180,8 @@ def main():
             out["weights"] = weights
         if not bake:
             out["bake_weights"] = False
+        if target != "portable":
+            out["target"] = target
         print(json.dumps(out))
         return
 

@@ -52,7 +52,9 @@ import numpy as np
 # v2: adds the verb-conditioned entry (model_gt.stablehlo) + meta "entries"
 # v3: adds meta "weights" (f32 | bf16 | int8 artifact weight encoding)
 # v4: adds weights-external artifacts (meta "bake_weights"/"weights_file")
-FORMAT_VERSION = 4
+# v5: adds TPU-native artifacts (meta "platforms"; platform="tpu" keeps the
+#     fused Pallas kernels in the exported program)
+FORMAT_VERSION = 5
 
 #: a quantized kernel leaf inside the param pytrees handed to the traced
 #: serve functions: ``q`` int8 values + per-output-channel f32 ``scale``
@@ -126,7 +128,8 @@ def _as_plain(tree):
 
 
 def export_inference(trainer, path: str, batch_size: int = 1,
-                     weights: str = "f32", bake_weights: bool = True) -> None:
+                     weights: str = "f32", bake_weights: bool = True,
+                     platform: str = "portable") -> None:
     """Export the trainer's current model as a serving artifact directory.
 
     ``weights``: artifact weight encoding — ``f32`` (exact), ``bf16``
@@ -140,17 +143,30 @@ def export_inference(trainer, path: str, batch_size: int = 1,
     shrink to ~1 MB (compile requests are program-only — the fix for
     remote-compiler request-size caps that quantization alone cannot
     clear on big backbones) and ``load_inference`` puts the side file on
-    device once.  Composes with ``weights=`` encodings."""
+    device once.  Composes with ``weights=`` encodings.
+
+    ``platform``: ``"portable"`` (default) lowers for cpu AND tpu, which
+    forces the mathematically-identical-but-slower non-Pallas paths
+    (Mosaic custom calls cannot lower for the cpu platform); ``"tpu"``
+    keeps the trainer's fused Pallas kernels (GGNN, ViT encoder blocks)
+    in the exported program — the artifact then runs ONLY on TPU
+    (``load_inference`` checks and says so).  jax.export guarantees
+    Mosaic custom-call stability, so the kernels serialize like any op."""
     from situation_recognition_tpu.data.transforms import device_transform
 
+    if platform not in ("portable", "tpu"):
+        raise ValueError(f"platform must be portable|tpu, got {platform!r}")
+    platforms = ["cpu", "tpu"] if platform == "portable" else ["tpu"]
     head = trainer.head
-    if getattr(head, "ggnn_impl", "masked") != "masked":
+    if platform == "portable" and getattr(head, "ggnn_impl",
+                                          "masked") != "masked":
         # the fused Pallas kernel lowers to a TPU-only Mosaic custom call;
-        # the exported artifact must run on any platform, so serve with the
+        # a portable artifact must run on any platform, so serve with the
         # mathematically identical masked-sum path (same params)
         head = head.clone(ggnn_impl="masked")
     backbone = trainer.backbone
-    if getattr(backbone, "block_impl", "flax") != "flax":
+    if platform == "portable" and getattr(backbone, "block_impl",
+                                          "flax") != "flax":
         # same portability rule for the ViT's fused encoder-block kernels
         # (ops/vit_pallas.py): exporting on TPU would otherwise trace
         # Mosaic custom calls into the multi-platform artifact, which
@@ -207,13 +223,14 @@ def export_inference(trainer, path: str, batch_size: int = 1,
         with open(os.path.join(path, "weights.msgpack"), "wb") as f:
             f.write(serialization.msgpack_serialize(
                 jax.tree.map(np.asarray, wtree)))
-    # lower for BOTH platforms — export() without `platforms` records only
-    # the exporting machine's backend and Exported.call() refuses to run
-    # anywhere else, breaking the export-on-CPU/serve-on-TPU promise
+    # lower for the target platforms explicitly — export() without
+    # `platforms` records only the exporting machine's backend and
+    # Exported.call() refuses to run anywhere else, breaking the
+    # export-on-CPU/serve-on-TPU promise
     exported = jax.export.export(entry(serve),
-                                 platforms=["cpu", "tpu"])(*args)
+                                 platforms=platforms)(*args)
     exported_gt = jax.export.export(entry(serve_gt),
-                                    platforms=["cpu", "tpu"])(*args_gt)
+                                    platforms=platforms)(*args_gt)
 
     with open(os.path.join(path, "model.stablehlo"), "wb") as f:
         f.write(exported.serialize())
@@ -224,6 +241,7 @@ def export_inference(trainer, path: str, batch_size: int = 1,
             "format_version": FORMAT_VERSION,
             "batch_size": batch_size,
             "weights": weights,
+            "platforms": platforms,
             "bake_weights": bake_weights,
             **({} if bake_weights else {"weights_file": "weights.msgpack"}),
             "entries": {
@@ -249,6 +267,17 @@ def load_inference(path: str) -> Callable:
         exported = jax.export.deserialize(f.read())
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
+
+    backend = jax.default_backend()
+    plats = meta.get("platforms", ["cpu", "tpu"])  # format_version < 5
+    if backend not in plats:
+        # fail HERE with the fix, not at first call with an XLA lowering
+        # error: platform="tpu" artifacts embed Mosaic custom calls that
+        # only a TPU can run
+        raise RuntimeError(
+            f"artifact {path} was exported for platforms {plats} but the "
+            f"current JAX backend is {backend!r}; re-export with "
+            f"platform='portable' to serve here")
 
     if meta.get("bake_weights", True):      # format_version < 4 is baked
         bind = lambda call: call            # noqa: E731

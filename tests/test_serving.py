@@ -201,6 +201,39 @@ def test_external_weights_export(encoder, tmp_path):
             np.asarray(fb.gt(imgs, verbs), np.float32), **tol)
 
 
+def test_tpu_target_export(encoder, tmp_path):
+    """platform="tpu" exports a TPU-only artifact (meta "platforms"
+    records it; the program may embed Mosaic custom calls).  Loading it
+    on a non-TPU backend must fail AT LOAD with the re-export hint, not
+    at first call with an XLA lowering error.  On this CPU test rig the
+    traced impls are the masked/flax paths either way — the kernel-bearing
+    variant is exercised on the real chip (BENCH_TARGET=tpu; PERF.md)."""
+    import jax
+
+    cfg = TrainerConfig(hidden=64, batch_size=8, backbone="mini",
+                        compute_dtype=jnp.float32)
+    tr = Trainer(encoder, cfg)
+
+    with pytest.raises(ValueError, match="portable|tpu"):
+        export_inference(tr, str(tmp_path / "bad"), batch_size=2,
+                         platform="gpu")
+
+    path = str(tmp_path / "tpu_only")
+    export_inference(tr, path, batch_size=2, platform="tpu")
+    import json, os
+    with open(os.path.join(path, "meta.json")) as f:
+        assert json.load(f)["platforms"] == ["tpu"]
+    if jax.default_backend() != "tpu":
+        with pytest.raises(RuntimeError, match="re-export with"):
+            load_inference(path)
+
+    # portable stays the default and records both platforms
+    path_p = str(tmp_path / "portable")
+    export_inference(tr, path_p, batch_size=2)
+    fn = load_inference(path_p)
+    assert fn.meta["platforms"] == ["cpu", "tpu"]
+
+
 def test_quantize_tree_covers_all_float_flavors():
     """Checkpoint converters preserve source dtypes (f16/bf16 CLIP
     weights); quantization must re-encode EVERY float kernel, not only

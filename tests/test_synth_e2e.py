@@ -88,6 +88,41 @@ def test_patch_label_coverage_never_erases_singletons():
 
 
 @pytest.mark.slow
+def test_vit_generalizes_to_held_out_dev(synth):
+    """Same generalization check through the ViT backbone family
+    (attention feature path — patch embed, encoder blocks, CLS pooling —
+    instead of the conv/GAP path): the full train stack must learn the
+    visual code through a frozen random-init vit_tiny too.  Measured
+    curve: dev mean 30.7 (init) -> 73.7 @ epoch 7 -> 91.4 @ epoch 19;
+    10 epochs clear the bar with slack."""
+    ann, img = synth
+    with open(os.path.join(ann, "train.json")) as f:
+        train_json = json.load(f)
+    with open(os.path.join(ann, "dev.json")) as f:
+        dev_json = json.load(f)
+    enc = ImsituEncoder(train_json, verbose=False)
+
+    train_ds = ImsituDataset(img, train_json, enc, train=True)
+    dev_ds = ImsituDataset(img, dev_json, enc, train=False)
+    train_ds.enable_decode_cache()
+    dev_ds.enable_decode_cache()
+    train = ImsituLoader(train_ds, batch_size=32, shuffle=True, seed=0)
+    dev = ImsituLoader(dev_ds, batch_size=32, shuffle=False)
+
+    cfg = TrainerConfig(hidden=64, batch_size=32, backbone="vit_tiny",
+                        compute_dtype=jnp.float32, lr=0.01)
+    tr = Trainer(enc, cfg)
+
+    before = _dev_mean(tr, dev)
+    for e in range(10):
+        tr.train_epoch(train, epoch=e)
+    after = _dev_mean(tr, dev)
+
+    assert after > 0.5, (before, after)
+    assert after > before + 0.2, (before, after)
+
+
+@pytest.mark.slow
 def test_generalizes_to_held_out_dev(synth):
     ann, img = synth
     with open(os.path.join(ann, "train.json")) as f:

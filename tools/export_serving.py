@@ -56,6 +56,13 @@ def main(argv=None):
                     help="ship weights as a weights.msgpack side file "
                          "instead of StableHLO constants (program files "
                          "~1 MB; loads with one device_put)")
+    ap.add_argument("--target", default="portable",
+                    choices=["portable", "tpu"],
+                    help="portable: runs on cpu AND tpu (non-Pallas "
+                         "paths); tpu: keep the fused Pallas kernels in "
+                         "the program — TPU-only artifact, faster "
+                         "(export from a TPU host so the trainer "
+                         "resolves to the kernels)")
     ap.add_argument("--dataset_folder", default="imSitu",
                     help="folder whose train.json defines the vocabulary")
     ap.add_argument("--precision", default="fp32",
@@ -94,13 +101,14 @@ def main(argv=None):
     _load_resume(trainer, args.checkpoint)
 
     export_inference(trainer, args.out, batch_size=args.batch_size,
-                     weights=args.weights, bake_weights=not args.external)
+                     weights=args.weights, bake_weights=not args.external,
+                     platform=args.target)
     total = sum(os.path.getsize(os.path.join(args.out, f))
                 for f in os.listdir(args.out))
     placement = "external" if args.external else "baked"
     print(f"exported {args.out} (batch {args.batch_size}, "
-          f"weights {args.weights} {placement}, {total / 1e6:.1f} MB): "
-          f"entries argmax + gt")
+          f"weights {args.weights} {placement}, target {args.target}, "
+          f"{total / 1e6:.1f} MB): entries argmax + gt")
 
 
 if __name__ == "__main__":
