@@ -157,6 +157,18 @@ def export_inference(trainer, path: str, batch_size: int = 1,
     if platform not in ("portable", "tpu"):
         raise ValueError(f"platform must be portable|tpu, got {platform!r}")
     platforms = ["cpu", "tpu"] if platform == "portable" else ["tpu"]
+    if (platform == "tpu"
+            and getattr(trainer.head, "ggnn_impl", "masked") == "masked"
+            and getattr(trainer.backbone, "block_impl", "flax") == "flax"):
+        # the whole point of a TPU-only artifact is keeping the fused
+        # kernels; a trainer that resolved to the portable impls (e.g. a
+        # CPU export host) produces a TPU-locked artifact with none of
+        # the speedup — say so instead of leaving the user to discover
+        # it from serving latency
+        print("platform='tpu' requested but the trainer's impls are the "
+              "portable ones (masked GGNN / flax blocks) — the artifact "
+              "will be TPU-only WITHOUT the fused-kernel speedup; export "
+              "from a TPU host (or keep platform='portable')")
     head = trainer.head
     if platform == "portable" and getattr(head, "ggnn_impl",
                                           "masked") != "masked":

@@ -201,7 +201,7 @@ def test_external_weights_export(encoder, tmp_path):
             np.asarray(fb.gt(imgs, verbs), np.float32), **tol)
 
 
-def test_tpu_target_export(encoder, tmp_path):
+def test_tpu_target_export(encoder, tmp_path, capsys):
     """platform="tpu" exports a TPU-only artifact (meta "platforms"
     records it; the program may embed Mosaic custom calls).  Loading it
     on a non-TPU backend must fail AT LOAD with the re-export hint, not
@@ -220,6 +220,9 @@ def test_tpu_target_export(encoder, tmp_path):
 
     path = str(tmp_path / "tpu_only")
     export_inference(tr, path, batch_size=2, platform="tpu")
+    # a CPU-resolved trainer makes a TPU-locked artifact with NO fused
+    # kernels — the export must say so out loud
+    assert "WITHOUT the fused-kernel speedup" in capsys.readouterr().out
     import json, os
     with open(os.path.join(path, "meta.json")) as f:
         assert json.load(f)["platforms"] == ["tpu"]
