@@ -237,6 +237,35 @@ def test_tpu_target_export(encoder, tmp_path, capsys):
     assert fn.meta["platforms"] == ["cpu", "tpu"]
 
 
+def test_loads_pre_v4_meta(encoder, tmp_path):
+    """Artifacts from older format versions carry neither "platforms" nor
+    "bake_weights" in meta.json; the loader must apply the historical
+    defaults (portable, baked) instead of KeyErroring — users keep their
+    existing exported artifacts across framework upgrades."""
+    import json, os
+
+    cfg = TrainerConfig(hidden=64, batch_size=8, backbone="mini",
+                        compute_dtype=jnp.float32)
+    tr = Trainer(encoder, cfg)
+    path = str(tmp_path / "old_format")
+    export_inference(tr, path, batch_size=2)
+
+    mp = os.path.join(path, "meta.json")
+    with open(mp) as f:
+        meta = json.load(f)
+    del meta["platforms"], meta["bake_weights"]
+    meta["format_version"] = 3
+    with open(mp, "w") as f:
+        json.dump(meta, f)
+
+    fn = load_inference(path)
+    imgs = np.random.default_rng(1).integers(0, 255, (2, 256, 256, 3),
+                                             dtype=np.uint8)
+    vl, vid, nl = fn(imgs)
+    assert nl.shape == (2, encoder.max_role_count, encoder.get_num_labels())
+    fn.gt(imgs, np.zeros((2,), np.int32))
+
+
 def test_quantize_tree_covers_all_float_flavors():
     """Checkpoint converters preserve source dtypes (f16/bf16 CLIP
     weights); quantization must re-encode EVERY float kernel, not only
