@@ -271,10 +271,21 @@ def export_inference(trainer, path: str, batch_size: int = 1,
         }, f)
 
 
-def load_inference(path: str) -> Callable:
+def load_inference(path: str, devices=None) -> Callable:
     """Load an exported artifact → fn(images_u8) with attached ``meta`` and
     ``fn.gt(images_u8, verb_ids)`` (the verb-conditioned entry; present in
-    format_version >= 2 artifacts)."""
+    format_version >= 2 artifacts).
+
+    ``devices``: optional list of local devices to serve on.  Batches
+    larger than the baked size are split into baked-size chunks anyway
+    (``_over_chunks``); with ``devices`` given, the chunks are placed
+    round-robin across the listed devices and dispatched back-to-back —
+    JAX dispatch is async, so chunks on different chips execute
+    concurrently and a host with N chips serves ~N× the single-chip
+    rate with no extra export work (data-parallel serving, the exact
+    analog of the reference's DataParallel inference scatter).  Outputs
+    are gathered onto ``devices[0]``.  Default (``None``): everything
+    runs on the process default device, as before."""
     with open(os.path.join(path, "model.stablehlo"), "rb") as f:
         exported = jax.export.deserialize(f.read())
     with open(os.path.join(path, "meta.json")) as f:
@@ -291,24 +302,45 @@ def load_inference(path: str) -> Callable:
             f"current JAX backend is {backend!r}; re-export with "
             f"platform='portable' to serve here")
 
+    devs = list(devices) if devices is not None else [None]
+    if not devs:
+        raise ValueError("devices must be a non-empty list (or None)")
+
     if meta.get("bake_weights", True):      # format_version < 4 is baked
-        bind = lambda call: call            # noqa: E731
+        whost = None
     else:
-        # weights-external artifact: put the side file on device ONCE and
-        # bind it as the entries' leading argument
+        # weights-external artifact: the side file goes on device once
+        # per serving device (lazily) and binds as the leading argument
         from flax import serialization
         with open(os.path.join(path, meta["weights_file"]), "rb") as f:
-            w = jax.device_put(serialization.msgpack_restore(f.read()))
-        bind = lambda call: (lambda *a: call(w, *a))  # noqa: E731
+            whost = serialization.msgpack_restore(f.read())
+    wcache = {}
+
+    def bind(jcall):
+        def call(i, args):
+            d = devs[i % len(devs)]
+            if d is not None:
+                args = tuple(jax.device_put(a, d) for a in args)
+            if whost is None:
+                return jcall(*args)
+            if d not in wcache:
+                wcache[d] = (jax.device_put(whost, d) if d is not None
+                             else jax.device_put(whost))
+            return jcall(wcache[d], *args)
+
+        return call
 
     call = bind(jax.jit(exported.call))
     baked = int(meta["batch_size"])
 
     def fn(images_u8):
-        return _over_chunks(call, baked, (_coerce(images_u8, np.uint8),))
+        return _over_chunks(call, baked, (_coerce(images_u8, np.uint8),),
+                            devs)
 
     fn.meta = meta
     fn.batch_size = baked
+    fn.devices = devs
+    fn._weight_cache = wcache
     gt_path = os.path.join(path, "model_gt.stablehlo")
     if os.path.isfile(gt_path):
         with open(gt_path, "rb") as f:
@@ -318,13 +350,13 @@ def load_inference(path: str) -> Callable:
         def gt(images_u8, verb_ids):
             return _over_chunks(call_gt, baked,
                                 (_coerce(images_u8, np.uint8),
-                                 _coerce(verb_ids, np.int32)))
+                                 _coerce(verb_ids, np.int32)), devs)
 
         fn.gt = gt
     return fn
 
 
-def _over_chunks(call, baked: int, args):
+def _over_chunks(call, baked: int, args, devs):
     """Serve ANY leading batch size through the fixed-batch artifact.
 
     The exported StableHLO has a static batch (TPU serving shapes); a
@@ -332,8 +364,11 @@ def _over_chunks(call, baked: int, args):
     hand.  Split into baked-size chunks, zero-pad the final partial
     chunk (zero images are numerically safe — eval-mode BN running
     stats, no data-dependent control flow), and slice the concatenated
-    outputs back to B.  An exactly-baked batch passes through untouched
-    — the serving bench path stays a single dispatch."""
+    outputs back to B.  An exactly-baked batch stays a single dispatch —
+    the serving bench path is untouched.  ``call(i, chunk)`` places
+    chunk i (round-robin over the loader's devices); all chunk calls
+    are dispatched before the first result is awaited, so multi-device
+    serving overlaps across chips."""
     sizes = {a.shape[0] for a in args}
     if len(sizes) != 1:
         # catch the caller's mismatch here — chunking would otherwise
@@ -342,19 +377,24 @@ def _over_chunks(call, baked: int, args):
                          f"{[a.shape[0] for a in args]}")
     b = args[0].shape[0]
     if b == baked:
-        return call(*args)
+        return call(0, args)
     if b == 0:
         raise ValueError("empty batch")
     outs = []
-    for lo in range(0, b, baked):
+    for i, lo in enumerate(range(0, b, baked)):
         chunk = tuple(a[lo:lo + baked] for a in args)
         short = baked - chunk[0].shape[0]
         if short:
             chunk = tuple(jnp.concatenate(
                 [c, jnp.zeros((short,) + c.shape[1:], c.dtype)])
                 for c in chunk)
-        res = call(*chunk)
+        res = call(i, chunk)
         outs.append(res if isinstance(res, tuple) else (res,))
+    if len(devs) > 1:
+        # gather before concatenate — committed arrays from different
+        # devices cannot feed one op
+        outs = [tuple(jax.device_put(o, devs[0]) for o in out)
+                for out in outs]
     cat = tuple(jnp.concatenate([o[i] for o in outs])[:b]
                 for i in range(len(outs[0])))
     return cat if len(cat) > 1 else cat[0]

@@ -237,6 +237,49 @@ def test_tpu_target_export(encoder, tmp_path, capsys):
     assert fn.meta["platforms"] == ["cpu", "tpu"]
 
 
+def test_multi_device_serving(encoder, tmp_path):
+    """load_inference(devices=[...]) places baked-size chunks round-robin
+    across the listed devices (data-parallel serving — a host with N
+    chips serves all of them from one artifact).  Row-for-row equality
+    with the single-device loader, chunks really land on distinct
+    devices, and external weights are copied once per serving device."""
+    import jax
+
+    devices = jax.devices()
+    assert len(devices) >= 4  # conftest forces the virtual 8-CPU platform
+
+    cfg = TrainerConfig(hidden=64, batch_size=8, backbone="mini",
+                        compute_dtype=jnp.float32)
+    tr = Trainer(encoder, cfg)
+    rng = np.random.default_rng(5)
+    imgs = rng.integers(0, 255, (7, 256, 256, 3), dtype=np.uint8)  # 4 chunks
+    verbs = rng.integers(0, encoder.get_num_verbs(), 7).astype(np.int32)
+
+    for ext in (False, True):
+        path = str(tmp_path / f"md_{ext}")
+        export_inference(tr, path, batch_size=2, bake_weights=not ext)
+        single = load_inference(path)
+        multi = load_inference(path, devices=devices[:4])
+        assert multi.devices == list(devices[:4])
+
+        for i in (0, 2):                     # verb_logits, noun_logits
+            np.testing.assert_allclose(
+                np.asarray(multi(imgs)[i], np.float32),
+                np.asarray(single(imgs)[i], np.float32),
+                rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(multi.gt(imgs, verbs), np.float32),
+            np.asarray(single.gt(imgs, verbs), np.float32),
+            rtol=1e-5, atol=1e-6)
+        if ext:
+            # one weight copy per device that served a chunk
+            assert set(multi._weight_cache) == set(devices[:4])
+
+    # an exactly-baked batch stays one dispatch on the first device
+    out = multi(imgs[:2])
+    assert out[0].devices() == {devices[0]}
+
+
 def test_loads_pre_v4_meta(encoder, tmp_path):
     """Artifacts from older format versions carry neither "platforms" nor
     "bake_weights" in meta.json; the loader must apply the historical
