@@ -263,6 +263,9 @@ def export_inference(trainer, path: str, batch_size: int = 1,
                 "gt": {"file": "model_gt.stablehlo",
                        "signature": "(images_u8, verb_ids) -> noun_logits"},
             },
+            # provenance, for ops/debugging (the program itself is closed)
+            "backbone": trainer.config.backbone,
+            "hidden": trainer.config.hidden,
             "num_verbs": trainer.encoder.get_num_verbs(),
             "num_labels": trainer.encoder.get_num_labels(),
             "max_role_count": trainer.encoder.max_role_count,

@@ -18,6 +18,7 @@ def test_export_load_roundtrip(encoder, tmp_path):
     fn = load_inference(path)
     assert fn.meta["num_verbs"] == encoder.get_num_verbs()
     assert fn.meta["verb_list"] == encoder.verb_list
+    assert fn.meta["backbone"] == "mini" and fn.meta["hidden"] == 64
 
     rng = np.random.default_rng(0)
     imgs = rng.integers(0, 255, (2, 256, 256, 3), dtype=np.uint8)
