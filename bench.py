@@ -16,6 +16,12 @@ DataParallel scatter/gather; a V100-class GPU sustains ~700 img/s fp16 on
 single-pass ResNet-152 inference, so the reference is bounded by ~233 img/s
 per GPU before host overheads.  REFERENCE_IMG_PER_SEC_PER_CHIP = 200 is the
 generous estimate used here (BASELINE target: >= 8x this).
+
+Env knobs: BENCH_MODE=train|eval|serving, BENCH_BATCH (default 768/chip),
+BENCH_BACKBONE (resnet152|vit_l14|vit_b16|...), BENCH_STEPS,
+BENCH_FROZEN_BN=train|eval; serving mode adds BENCH_WEIGHTS=f32|bf16|int8,
+BENCH_BAKE=0 (weights-external artifact), BENCH_TARGET=tpu (keep the
+fused Pallas kernels in the exported program).
 """
 
 import json
