@@ -67,7 +67,8 @@ def build_parser() -> ArgumentParser:
 
     # --- TPU-native additions (not in the reference CLI) ---
     parser.add_argument('--backbone', type=str, default='resnet152',
-                        choices=['resnet50', 'resnet101', 'resnet152', 'mini',
+                        choices=['resnet18', 'resnet34', 'resnet50',
+                                 'resnet101', 'resnet152', 'mini',
                                  'vit_l14', 'vit_l14_clip', 'vit_b16',
                                  'vit_tiny'],
                         help='Backbone architecture')

@@ -74,13 +74,51 @@ class Bottleneck(nn.Module):
         return nn.relu(y + residual)
 
 
+class BasicBlock(nn.Module):
+    """torchvision-style basic block (two 3x3 convs, expansion 1) — the
+    resnet18/34 building block.  Stride sits on the FIRST conv
+    (torchvision ``BasicBlock.conv1``), unlike the Bottleneck's 3x3."""
+
+    features: int
+    strides: int = 1
+    has_downsample: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        conv = partial(nn.Conv, use_bias=False, dtype=self.dtype)
+        bn = partial(
+            nn.BatchNorm, use_running_average=not train,
+            momentum=0.9, epsilon=1e-5, dtype=self.dtype)
+
+        residual = x
+        y = conv(self.features, (3, 3), strides=(self.strides, self.strides),
+                 padding=[(1, 1), (1, 1)], name="conv1")(x)
+        y = bn(name="bn1")(y)
+        y = nn.relu(y)
+        y = conv(self.features, (3, 3), padding=[(1, 1), (1, 1)],
+                 name="conv2")(y)
+        y = bn(name="bn2")(y)
+
+        if self.has_downsample:
+            residual = conv(self.features, (1, 1),
+                            strides=(self.strides, self.strides),
+                            name="downsample_conv")(x)
+            residual = bn(name="downsample_bn")(residual)
+
+        return nn.relu(y + residual)
+
+
 class ResNet(nn.Module):
-    """ResNet v1.5 returning (B, 2048) pooled features (fc-less, like the
-    reference's Identity-fc backbone)."""
+    """ResNet v1.5 returning pooled features (fc-less, like the reference's
+    Identity-fc backbone): (B, base_width*32) for Bottleneck stacks
+    (resnet50/101/152 → 2048), (B, base_width*8) for BasicBlock stacks
+    (resnet18/34 → 512)."""
 
     stage_sizes: Sequence[int]
     dtype: Any = jnp.float32
-    base_width: int = 64   # stem width; feature dim = base_width * 32
+    base_width: int = 64   # stem width
+    basic: bool = False    # BasicBlock (18/34) instead of Bottleneck
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -94,14 +132,20 @@ class ResNet(nn.Module):
         # torch MaxPool2d(kernel=3, stride=2, padding=1)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
+        block_cls = BasicBlock if self.basic else Bottleneck
         features = self.base_width
         for stage, num_blocks in enumerate(self.stage_sizes):
             for block in range(num_blocks):
                 strides = 2 if (stage > 0 and block == 0) else 1
-                x = Bottleneck(
+                # torchvision adds a downsample when stride != 1 or the
+                # channel count changes: every stage-0 block for Bottleneck
+                # (64 -> 256 even at stride 1), but NOT stage 1 of a
+                # BasicBlock stack (64 -> 64, stride 1)
+                has_ds = (block == 0) and (not self.basic or stage > 0)
+                x = block_cls(
                     features=features,
                     strides=strides,
-                    has_downsample=(block == 0),
+                    has_downsample=has_ds,
                     dtype=self.dtype,
                     name=f"layer{stage + 1}_{block}",
                 )(x, train=train)
@@ -109,6 +153,14 @@ class ResNet(nn.Module):
 
         # global average pool == torch AdaptiveAvgPool2d(1) + flatten
         return jnp.mean(x, axis=(1, 2))
+
+
+def resnet18(dtype=jnp.float32) -> ResNet:
+    return ResNet(stage_sizes=(2, 2, 2, 2), dtype=dtype, basic=True)
+
+
+def resnet34(dtype=jnp.float32) -> ResNet:
+    return ResNet(stage_sizes=(3, 4, 6, 3), dtype=dtype, basic=True)
 
 
 def resnet50(dtype=jnp.float32) -> ResNet:

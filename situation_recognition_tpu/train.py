@@ -58,7 +58,7 @@ class TrainerConfig:
     epochs: int = 1000
     num_ggnn_steps: int = 4
     dropout_rate: float = 0.5            # reference hardcodes 0.5 (model.py:105-111)
-    backbone: str = "resnet152"          # resnet50/101/152 | mini (tests)
+    backbone: str = "resnet152"          # resnet18/34/50/101/152 | vit_* | mini
     compute_dtype: Any = jnp.bfloat16    # bf16 on TPU; tests use float32
     seed: int = 0
     model_axis: int = 1                  # >1 enables classifier TP
@@ -89,6 +89,11 @@ _RESNETS = {
     "resnet152": (3, 8, 36, 3),
     "mini": (1, 1, 1, 1),
 }
+# BasicBlock stacks (expansion 1 → feature dim base_width*8, i.e. 512)
+_BASIC_RESNETS = {
+    "resnet18": (2, 2, 2, 2),
+    "resnet34": (3, 4, 6, 3),
+}
 _VITS = {"vit_l14": vit_l14, "vit_l14_clip": vit_l14_clip,
          "vit_b16": vit_b16, "vit_tiny": vit_tiny}
 
@@ -98,6 +103,8 @@ def default_hidden(backbone: str) -> int:
     for the CLI and the bench tools)."""
     if backbone in VIT_WIDTHS:
         return VIT_WIDTHS[backbone]
+    if backbone in _BASIC_RESNETS:
+        return 512
     return 64 if backbone == "mini" else 2048
 
 
@@ -125,6 +132,12 @@ def build_backbone(name: str, dtype, hidden: int):
             raise ValueError("hidden must be a multiple of 32 for ResNets")
         return ResNet(stage_sizes=_RESNETS[name], dtype=dtype,
                       base_width=hidden // 32), True
+    if name in _BASIC_RESNETS:
+        if hidden % 8 != 0:
+            raise ValueError(
+                "hidden must be a multiple of 8 for BasicBlock ResNets")
+        return ResNet(stage_sizes=_BASIC_RESNETS[name], dtype=dtype,
+                      base_width=hidden // 8, basic=True), True
     if name in _VITS:
         if hidden != VIT_WIDTHS[name]:
             raise ValueError(

@@ -99,16 +99,15 @@ def convert_resnet(
     if not blocks:
         raise ValueError(f"no ResNet layers found under prefix {prefix!r}")
     first = f"{p}layer{blocks[0][0]}.{blocks[0][1]}"
-    if f"{first}.conv3.weight" not in state:
-        raise ValueError(
-            "only Bottleneck ResNets (50/101/152) are supported; this "
-            "state_dict has BasicBlock layers (conv1/conv2 only — "
-            "resnet18/34 layout)")
+    # Bottleneck blocks (50/101/152) carry conv1..3; BasicBlock (18/34)
+    # carries conv1..2 — both map onto models/resnet.py (basic=True for
+    # the latter)
+    convs = (1, 2, 3) if f"{first}.conv3.weight" in state else (1, 2)
 
     for stage, block in blocks:
         src = f"{p}layer{stage}.{block}"
         dst = f"layer{stage}_{block}"
-        for c in (1, 2, 3):
+        for c in convs:
             put(params, (dst, f"conv{c}", "kernel"),
                 _conv(state[f"{src}.conv{c}.weight"]))
             bn((dst, f"bn{c}"), f"{src}.bn{c}")

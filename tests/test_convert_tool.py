@@ -172,9 +172,9 @@ def test_torch_magic_bytes_detected(tmp_path):
     assert _is_torch_checkpoint(str(p))
 
 
-def test_basicblock_resnet_rejected():
-    """resnet18/34 (BasicBlock: conv1/conv2 only) must fail with a clear
-    unsupported-architecture error, not an opaque KeyError on conv3."""
+def test_basicblock_resnet_converts():
+    """resnet18/34 (BasicBlock: conv1/conv2 only) converts to the basic=True
+    flax layout — conv1/conv2/bn1/bn2 per block, no conv3 entries."""
     from situation_recognition_tpu.utils.torch_convert import convert_resnet
 
     def bn(prefix):
@@ -188,5 +188,8 @@ def test_basicblock_resnet_rejected():
              **bn("layer1.0.bn1"),
              "layer1.0.conv2.weight": np.zeros((4, 4, 3, 3), np.float32),
              **bn("layer1.0.bn2")}
-    with pytest.raises(ValueError, match="Bottleneck"):
-        convert_resnet(state)
+    params, stats = convert_resnet(state)
+    blk = params["layer1_0"]
+    assert set(blk) == {"conv1", "conv2", "bn1", "bn2"}
+    assert blk["conv1"]["kernel"].shape == (3, 3, 4, 4)
+    assert set(stats["layer1_0"]) == {"bn1", "bn2"}

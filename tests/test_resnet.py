@@ -11,7 +11,7 @@ import jax.numpy as jnp
 import torch
 import torch.nn as nn
 
-from situation_recognition_tpu.models.resnet import ResNet, resnet152
+from situation_recognition_tpu.models.resnet import ResNet, resnet18, resnet152
 from situation_recognition_tpu.utils.torch_convert import convert_resnet
 
 
@@ -39,8 +39,33 @@ class TorchBottleneck(nn.Module):
         return self.relu(out + identity)
 
 
+class TorchBasicBlock(nn.Module):
+    """torchvision-style BasicBlock (resnet18/34): two 3x3 convs,
+    expansion 1, stride on conv1."""
+
+    expansion = 1
+
+    def __init__(self, inplanes, planes, stride=1, downsample=None):
+        super().__init__()
+        self.conv1 = nn.Conv2d(inplanes, planes, 3, stride=stride, padding=1,
+                               bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.conv2 = nn.Conv2d(planes, planes, 3, padding=1, bias=False)
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.relu = nn.ReLU(inplace=True)
+        self.downsample = downsample
+
+    def forward(self, x):
+        identity = x
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.bn2(self.conv2(out))
+        if self.downsample is not None:
+            identity = self.downsample(x)
+        return self.relu(out + identity)
+
+
 class TorchResNet(nn.Module):
-    def __init__(self, stage_sizes, width=64):
+    def __init__(self, stage_sizes, width=64, block=TorchBottleneck):
         super().__init__()
         self.conv1 = nn.Conv2d(3, width, 7, stride=2, padding=3, bias=False)
         self.bn1 = nn.BatchNorm2d(width)
@@ -51,13 +76,18 @@ class TorchResNet(nn.Module):
         for i, blocks in enumerate(stage_sizes):
             stride = 1 if i == 0 else 2
             layers = []
-            downsample = nn.Sequential(
-                nn.Conv2d(self.inplanes, planes * 4, 1, stride=stride, bias=False),
-                nn.BatchNorm2d(planes * 4))
-            layers.append(TorchBottleneck(self.inplanes, planes, stride, downsample))
-            self.inplanes = planes * 4
+            # torchvision: downsample iff stride != 1 or channels change
+            if stride != 1 or self.inplanes != planes * block.expansion:
+                downsample = nn.Sequential(
+                    nn.Conv2d(self.inplanes, planes * block.expansion, 1,
+                              stride=stride, bias=False),
+                    nn.BatchNorm2d(planes * block.expansion))
+            else:
+                downsample = None
+            layers.append(block(self.inplanes, planes, stride, downsample))
+            self.inplanes = planes * block.expansion
             for _ in range(1, blocks):
-                layers.append(TorchBottleneck(self.inplanes, planes))
+                layers.append(block(self.inplanes, planes))
             setattr(self, f"layer{i + 1}", nn.Sequential(*layers))
             planes *= 2
         self.avgpool = nn.AdaptiveAvgPool2d(1)
@@ -148,3 +178,53 @@ def test_feature_dim():
     v = fmodel.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
     out = fmodel.apply(v, jnp.zeros((2, 64, 64, 3)), train=False)
     assert out.shape == (2, 2048)
+
+
+def test_basicblock_resnet_matches_torch_eval():
+    """resnet18-style BasicBlock stack: converted weights produce identical
+    features to the torch oracle (eval-mode BN), incl. the stage-1
+    no-downsample layout that differs from Bottleneck stacks."""
+    stage_sizes = (1, 1, 1, 1)
+    tmodel = TorchResNet(stage_sizes, block=TorchBasicBlock).eval()
+    with torch.no_grad():
+        _randomize_bn_stats(tmodel)
+    state = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    params, stats = convert_resnet(state)
+
+    fmodel = ResNet(stage_sizes=stage_sizes, basic=True)
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+
+    out = fmodel.apply({"params": params, "batch_stats": stats},
+                       jnp.asarray(x), train=False)
+    assert out.shape == (2, 512)
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-4, atol=1e-4)
+
+
+def test_resnet18_conversion_is_complete():
+    """Converter consumes the full resnet18 layout and produces exactly the
+    flax tree resnet18() initializes (same paths, same shapes)."""
+    tmodel = TorchResNet((2, 2, 2, 2), block=TorchBasicBlock)
+    state = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    params, stats = convert_resnet(state)
+
+    fmodel = resnet18()
+    var_shapes = jax.eval_shape(
+        lambda: fmodel.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 224, 224, 3)), train=False))
+
+    def paths(tree):
+        out = set()
+        def rec(node, pre):
+            if isinstance(node, dict):
+                for k, v in node.items():
+                    rec(v, pre + (k,))
+            else:
+                out.add((pre, tuple(node.shape)))
+        rec(tree, ())
+        return out
+
+    assert paths(params) == paths(var_shapes["params"])
+    assert paths(stats) == paths(var_shapes["batch_stats"])
