@@ -54,7 +54,9 @@ import numpy as np
 # v4: adds weights-external artifacts (meta "bake_weights"/"weights_file")
 # v5: adds TPU-native artifacts (meta "platforms"; platform="tpu" keeps the
 #     fused Pallas kernels in the exported program)
-FORMAT_VERSION = 5
+# v6: adds meta "roles_per_verb" (per-verb role-name lists — lets the
+#     serving daemon name the noun slots in responses; server.py)
+FORMAT_VERSION = 6
 
 #: a quantized kernel leaf inside the param pytrees handed to the traced
 #: serve functions: ``q`` int8 values + per-output-channel f32 ``scale``
@@ -271,6 +273,7 @@ def export_inference(trainer, path: str, batch_size: int = 1,
             "max_role_count": trainer.encoder.max_role_count,
             "verb_list": trainer.encoder.verb_list,
             "label_list": trainer.encoder.label_list,
+            "roles_per_verb": trainer.encoder.roles_per_verb,
         }, f)
 
 

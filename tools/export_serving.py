@@ -45,7 +45,8 @@ def main(argv=None):
                     help="static serving batch (the loader pads/chunks "
                          "any caller batch size onto it)")
     ap.add_argument("--backbone", default="resnet152",
-                    choices=["resnet50", "resnet101", "resnet152", "mini",
+                    choices=["resnet18", "resnet34", "resnet50",
+                             "resnet101", "resnet152", "mini",
                              "vit_l14", "vit_l14_clip", "vit_b16",
                              "vit_tiny"])
     ap.add_argument("--weights", default="f32",
