@@ -39,6 +39,8 @@ _LAZY = {
     "mean_of_eight": "situation_recognition_tpu.metrics.scorer",
     "export_inference": "situation_recognition_tpu.serving",
     "load_inference": "situation_recognition_tpu.serving",
+    "DynamicBatcher": "situation_recognition_tpu.server",
+    "serve_http": "situation_recognition_tpu.server",
     "make_mesh": "situation_recognition_tpu.parallel.mesh",
 }
 

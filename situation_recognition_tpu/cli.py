@@ -128,6 +128,20 @@ def build_parser() -> ArgumentParser:
                              'Resize(224)+CenterCrop(224) for bit-faithful '
                              'metric-parity runs; slower host path). '
                              'Training always uses the window pipeline.')
+    parser.add_argument('--distributed', action='store_true',
+                        help='Multi-process (multi-host) data parallelism: '
+                             'run this SAME command on every host; each '
+                             'process loads only its shard of every batch '
+                             'and the mesh spans all hosts '
+                             '(parallel/distributed.py).  On TPU pods the '
+                             'coordinator is auto-detected; elsewhere pass '
+                             '--coordinator/--num_processes/--process_id.')
+    parser.add_argument('--coordinator', type=str, default='',
+                        help='host:port of process 0 (omit on TPU pods)')
+    parser.add_argument('--num_processes', type=int, default=0,
+                        help='world size (omit on TPU pods)')
+    parser.add_argument('--process_id', type=int, default=-1,
+                        help='this process rank (omit on TPU pods)')
     return parser
 
 
@@ -271,6 +285,32 @@ def main(argv=None) -> None:
         # must precede any device use; a config-level update beats both the
         # JAX_PLATFORMS env var and site-installed plugin pins
         jax.config.update('jax_platforms', 'cpu')
+
+    shard = None
+    if args.distributed:
+        if args.test_img or args.subset > 0:
+            parser.error('--distributed applies to the batch-iterated '
+                         'modes (train / evaluate_dev / evaluate_test); '
+                         'single-image inference runs on one process')
+        if args.cache_device:
+            parser.error('--distributed does not compose with '
+                         '--cache_device (single-process HBM-resident '
+                         'batching)')
+        from situation_recognition_tpu.parallel.distributed import (
+            init_distributed)
+
+        # must precede the first device use below (backend creation binds
+        # the process to the world)
+        init_distributed(
+            coordinator_address=args.coordinator or None,
+            num_processes=args.num_processes or None,
+            process_id=args.process_id if args.process_id >= 0 else None)
+        shard = (jax.process_index(), jax.process_count())
+        if shard[0] != 0:
+            # one host speaks: the reference-format stdout comes from
+            # process 0 only (all processes compute identical metrics);
+            # stderr stays live everywhere for crash diagnostics
+            sys.stdout = open(os.devnull, 'w')
     import jax.numpy as jnp
 
     from situation_recognition_tpu.data.dataset import ImsituDataset, ImsituLoader
@@ -373,21 +413,24 @@ def main(argv=None) -> None:
             'train')
         train_loader = ImsituLoader(train_set, batch_size=batch,
                                     shuffle=True, seed=args.seed,
-                                    num_workers=args.num_workers)
+                                    num_workers=args.num_workers,
+                                    shard=shard)
     if 'dev' in need:
         dev_set = _prepare(
             ImsituDataset(args.imgset_dir, dev_json, encoder, train=False,
                           preproc=args.preproc), 'dev')
         dev_loader = ImsituLoader(dev_set, batch_size=batch,
                                   shuffle=False,
-                                  num_workers=args.num_workers)
+                                  num_workers=args.num_workers,
+                                  shard=shard)
     if 'test' in need:
         test_set = _prepare(
             ImsituDataset(args.imgset_dir, test_json, encoder, train=False,
                           preproc=args.preproc), 'test')
         test_loader = ImsituLoader(test_set, batch_size=batch,
                                    shuffle=True, seed=args.seed,
-                                   num_workers=args.num_workers)  # ref quirk
+                                   num_workers=args.num_workers,  # ref quirk
+                                   shard=shard)
 
     from situation_recognition_tpu.train import default_hidden
     hidden = default_hidden(args.backbone)
@@ -396,7 +439,13 @@ def main(argv=None) -> None:
         backbone=args.backbone, compute_dtype=dtype, seed=args.seed,
         model_axis=args.model_axis, ggnn_impl=args.ggnn,
         frozen_backbone_bn=args.frozen_bn)
-    trainer = Trainer(encoder, cfg)
+    mesh = None
+    if shard is not None:
+        from situation_recognition_tpu.parallel.distributed import (
+            make_distributed_mesh)
+
+        mesh = make_distributed_mesh(model=args.model_axis)
+    trainer = Trainer(encoder, cfg, mesh=mesh)
 
     if args.backbone_ckpt:
         _load_backbone(trainer, args.backbone_ckpt)

@@ -26,7 +26,7 @@ from __future__ import annotations
 import os
 import queue
 import threading
-from typing import Dict, Iterator, List, Optional
+from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 
@@ -197,11 +197,25 @@ class ImsituLoader:
     def __init__(self, dataset: ImsituDataset, batch_size: int,
                  shuffle: bool, seed: int = 0, num_workers: int = 2,
                  prefetch: int = 2, drop_last: bool = False,
-                 decoder: str = "auto"):
+                 decoder: str = "auto",
+                 shard: Optional[Tuple[int, int]] = None):
         """``decoder``: 'native' (C++ libjpeg batch decode), 'python'
         (PIL per image), or 'auto' (native when buildable, else python).
         The two decoders draw augmentations from different deterministic
-        streams (see data/native_decoder.py)."""
+        streams (see data/native_decoder.py).
+
+        ``shard=(rank, world)``: multi-process data parallelism — this
+        loader materializes only rank's contiguous ``batch_size/world``
+        row block of every GLOBAL batch (images decoded per host:
+        1/world of the work).  The epoch order, the final partial
+        batch's wrap-padding, and the augmentation draws are all
+        computed at the GLOBAL level first (streams are keyed by
+        (seed, epoch, dataset-index)), so the assembled global batch is
+        bit-identical to a single-process run.  Sharded batches carry
+        ``global_n`` (true pre-padding row count), ``shard``, and the
+        full-batch ``verbs_global``/``labels_global`` sidecars (host
+        scoring needs all rows; labels are cheap — only pixels are
+        sharded).  See ``parallel/distributed.py``."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -224,6 +238,15 @@ class ImsituLoader:
 
             decoder = "native" if native_decoder.available() else "python"
         self.decoder = decoder
+        if shard is not None:
+            rank, world = shard
+            if world < 1 or not (0 <= rank < world):
+                raise ValueError(f"bad shard {shard}: need 0 <= rank < world")
+            if batch_size % world != 0:
+                raise ValueError(
+                    f"global batch {batch_size} not divisible by "
+                    f"world size {world}")
+        self.shard = shard
         #: one-shot batch offset for mid-epoch resume (reset by __iter__)
         self.start_batch = 0
 
@@ -360,16 +383,42 @@ class ImsituLoader:
         if self.start_batch:
             index_batches = index_batches[self.start_batch:]
             self.start_batch = 0
+        if self.shard is not None and self.dataset.window_cached:
+            raise ValueError(
+                "sharded loading does not compose with the device window "
+                "cache (single-process HBM-resident batching); disable one")
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
+
+        def make(gidx: np.ndarray) -> Dict:
+            if self.shard is None:
+                return self._make_batch(gidx)
+            # multi-process DP: wrap-pad the partial final batch at the
+            # GLOBAL index level (same arange % n the single-process
+            # trainer pads with — augmentation streams key on the dataset
+            # index, so the assembled global batch is bit-identical),
+            # then materialize only this rank's contiguous block
+            rank, world = self.shard
+            true_n = len(gidx)
+            if true_n < self.batch_size:
+                gidx = gidx[np.arange(self.batch_size) % true_n]
+            per = self.batch_size // world
+            b = self._make_batch(gidx[rank * per:(rank + 1) * per])
+            b["global_n"] = true_n
+            b["shard"] = self.shard
+            # host-side scoring needs every row's annotations; only the
+            # pixels are worth sharding
+            b["verbs_global"] = self.dataset.verbs[gidx]
+            b["labels_global"] = self.dataset.labels[gidx]
+            return b
 
         def producer():
             try:
                 for idxs in index_batches:
                     if stop.is_set():
                         return
-                    q.put(self._make_batch(idxs))
+                    q.put(make(idxs))
                 q.put(None)
             except BaseException as e:  # propagate to the consumer
                 q.put(e)

@@ -1,3 +1,10 @@
+from situation_recognition_tpu.parallel.distributed import (  # noqa: F401
+    fetch,
+    init_distributed,
+    is_main_process,
+    make_distributed_mesh,
+    process_batch_slice,
+)
 from situation_recognition_tpu.parallel.mesh import (  # noqa: F401
     batch_sharding,
     head_param_sharding,

@@ -272,7 +272,6 @@ class _Handler:
             return 500, {"error": f"inference failed: {e}"}  # connection
 
     def _predict_decoded(self, window, verb: Optional[str]):
-
         meta = self.meta
         if verb is not None:
             # the reference's gt path: a given-and-valid verb is used with

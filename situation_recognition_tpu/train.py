@@ -46,6 +46,7 @@ from situation_recognition_tpu.models.fcggnn import (
 from situation_recognition_tpu.models.resnet import ResNet
 from situation_recognition_tpu.models.vit import (
     VIT_WIDTHS, vit_b16, vit_l14, vit_l14_clip, vit_tiny)
+from situation_recognition_tpu.parallel.distributed import fetch as _fetch
 from situation_recognition_tpu.parallel.mesh import make_mesh
 from situation_recognition_tpu.utils.logging import StepTimer, format_dict
 
@@ -467,6 +468,37 @@ class Trainer:
             self._hbm_caches[dataset] = entry
         return entry[1]
 
+    def _assemble_sharded(self, batch: Dict):
+        """Multi-process DP: this process's local row block → global device
+        arrays (``jax.make_array_from_process_local_data``).  The loader
+        already wrap-padded at the global index level, so every local
+        block is exactly batch_size/world rows; the valid mask is derived
+        from the global row count identically on every process."""
+        rank, world = batch["shard"]
+        if world != jax.process_count() or rank != jax.process_index():
+            raise ValueError(
+                f"loader shard {batch['shard']} does not match this "
+                f"process ({jax.process_index()}/{jax.process_count()}) — "
+                f"build the loader with shard=(jax.process_index(), "
+                f"jax.process_count())")
+        B = self.config.batch_size
+        per = B // world
+        local = {
+            "images": batch["images"],
+            "flip": batch["flip"],
+            "verbs": np.asarray(batch["verbs"], np.int32),
+            "labels": np.asarray(batch["labels"], np.int32),
+        }
+        dev = {k: jax.make_array_from_process_local_data(
+            self._bsh, v, global_shape=(B,) + v.shape[1:])
+            for k, v in local.items()}
+        n = int(batch["global_n"])
+        valid_g = (np.arange(B) < n).astype(np.float32)
+        valid = jax.make_array_from_process_local_data(
+            self._bsh, valid_g[rank * per:(rank + 1) * per],
+            global_shape=(B,))
+        return dev, valid, n
+
     def _device_batches(self, loader):
         """Iterate (device_arrays, device_valid, host_batch, n) with the
         NEXT batch's host→device transfer issued before the current batch is
@@ -477,19 +509,28 @@ class Trainer:
         transfer entirely: the window array lives in HBM (uploaded once
         here) and each batch's images materialize as an on-device gather
         of the batch's row indices — the only per-step host→device bytes
-        are the (B,) indices/verbs/labels/flip sidecars."""
+        are the (B,) indices/verbs/labels/flip sidecars.
+
+        Sharded loaders (multi-process DP, ``ImsituLoader(shard=...)``)
+        yield local row blocks; those assemble into global arrays via
+        ``_assemble_sharded`` instead of ``_pad_batch``+``device_put``."""
         pending = None
         cache_dev = None
         ds = getattr(loader, "dataset", None)
         if ds is not None and getattr(ds, "window_cached", False):
             cache_dev = self._hbm_window_cache(ds)
         for batch in loader:
-            arrays, valid, n = self._pad_batch(batch)
-            dev = {k: jax.device_put(v, self._bsh) for k, v in arrays.items()}
-            if cache_dev is not None:
-                dev["images"] = self._cache_gather(cache_dev,
-                                                   dev.pop("indices"))
-            dev = (dev, jax.device_put(valid, self._bsh), batch, n)
+            if "shard" in batch:
+                dev_arrays, valid_dev, n = self._assemble_sharded(batch)
+                dev = (dev_arrays, valid_dev, batch, n)
+            else:
+                arrays, valid, n = self._pad_batch(batch)
+                dev_arrays = {k: jax.device_put(v, self._bsh)
+                              for k, v in arrays.items()}
+                if cache_dev is not None:
+                    dev_arrays["images"] = self._cache_gather(
+                        cache_dev, dev_arrays.pop("indices"))
+                dev = (dev_arrays, jax.device_put(valid, self._bsh), batch, n)
             if pending is not None:
                 yield pending
             pending = dev
@@ -543,12 +584,17 @@ class Trainer:
                 self.backbone_stats, key, arrays["images"], arrays["flip"],
                 arrays["verbs"], arrays["labels"], valid)
             losses = [float(x) for x in losses]
-            pv5, pn5, gt1 = (np.asarray(x)[:n] for x in topk)
+            # _fetch: np.asarray single-process; all-gather of the
+            # batch-sharded top-k rows in a multi-process world (every
+            # process then scores the full global batch identically)
+            pv5, pn5, gt1 = (_fetch(x)[:n] for x in topk)
             if timer:
                 timer.stop(n)
-            top1.add_point_indices(pv5[:, :1], batch["verbs"],
-                                   pn5[:, :, :1], batch["labels"], gt1)
-            top5.add_point_indices(pv5, batch["verbs"], pn5, batch["labels"])
+            verbs_h = batch.get("verbs_global", batch["verbs"])[:n]
+            labels_h = batch.get("labels_global", batch["labels"])[:n]
+            top1.add_point_indices(pv5[:, :1], verbs_h,
+                                   pn5[:, :, :1], labels_h, gt1)
+            top5.add_point_indices(pv5, verbs_h, pn5, labels_h)
             sums += losses
             num_batches += 1
             self.step_count += 1
@@ -576,10 +622,12 @@ class Trainer:
             losses, topk = self._eval_step(
                 self.head_params, self.backbone_params, self.backbone_stats,
                 arrays["images"], arrays["verbs"], arrays["labels"], valid)
-            pv5, pn5, gt1 = (np.asarray(x)[:n] for x in topk)
-            top1.add_point_indices(pv5[:, :1], batch["verbs"],
-                                   pn5[:, :, :1], batch["labels"], gt1)
-            top5.add_point_indices(pv5, batch["verbs"], pn5, batch["labels"])
+            pv5, pn5, gt1 = (_fetch(x)[:n] for x in topk)
+            verbs_h = batch.get("verbs_global", batch["verbs"])[:n]
+            labels_h = batch.get("labels_global", batch["labels"])[:n]
+            top1.add_point_indices(pv5[:, :1], verbs_h,
+                                   pn5[:, :, :1], labels_h, gt1)
+            top5.add_point_indices(pv5, verbs_h, pn5, labels_h)
             sums += [float(x) for x in losses]
             num_batches += 1
         sums /= max(num_batches, 1)
@@ -618,6 +666,15 @@ class Trainer:
         import os
 
         from situation_recognition_tpu.utils.checkpoint import save_checkpoint
+
+        # multi-process DP: every process trains (identical replicated
+        # updates) but only process 0 touches the filesystem — checkpoint
+        # writes and the curve PNG would race on a shared fs.  stdout
+        # suppression for non-main ranks is the launcher's concern
+        # (tools/train_distributed-style wrappers / cli --distributed).
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            plot = False
+            save = False
 
         histories = {k: [] for k in [
             "avg_scores", "verb_losses", "nouns_losses",

@@ -53,7 +53,6 @@ def main(argv=None):
           f"(max_wait_ms={args.max_wait_ms}, "
           f"devices={len(devices) if devices else 1})", flush=True)
     try:
-        httpd.serve_thread_join = None  # serve_forever runs on its thread
         import threading
 
         threading.Event().wait()        # run until killed
