@@ -94,6 +94,15 @@ def build_parser() -> ArgumentParser:
                              '(batch stats + running-stat updates); "eval" '
                              'uses running stats only — ~39%% faster, '
                              'diverges from the reference trajectory')
+    parser.add_argument('--grad_accum', type=int, default=1,
+                        help='Gradient accumulation: each optimizer step '
+                             'averages the gradients of N microbatches of '
+                             'batch_size/N rows — runs the global-batch '
+                             'recipe when the backbone forward does not '
+                             'fit HBM at the full batch (e.g. ViT-L/14 '
+                             'on few chips).  Train-mode BN computes '
+                             'per-microbatch stats (DIVERGENCES #17 '
+                             'class)')
     parser.add_argument('--save_steps', type=int, default=0,
                         help='Also checkpoint every N train steps '
                              '(mid-epoch, preemption-safe resume)')
@@ -367,10 +376,16 @@ def main(argv=None) -> None:
 
     batch = args.batch_size
     ndata = max(1, n_dev // args.model_axis)
-    if batch % ndata != 0:
-        batch = ((batch + ndata - 1) // ndata) * ndata
+    accum = max(1, args.grad_accum)
+    # loaders/steps run at the MICRObatch; the optimizer batch is
+    # micro * accum (== --batch_size up to rounding)
+    quantum = ndata * accum
+    if batch % quantum != 0:
+        batch = ((batch + quantum - 1) // quantum) * quantum
         print(f'[srtpu] batch_size rounded up to {batch} '
-              f'(divisible by data axis {ndata})', file=sys.stderr)
+              f'(divisible by data axis {ndata} x grad_accum {accum})',
+              file=sys.stderr)
+    batch //= accum
 
     # Build ONLY the splits the selected mode touches: dataset
     # construction pre-encodes every annotation (seconds over real imSitu's
@@ -438,7 +453,7 @@ def main(argv=None) -> None:
         hidden=hidden, lr=args.lr, batch_size=batch, epochs=args.epochs,
         backbone=args.backbone, compute_dtype=dtype, seed=args.seed,
         model_axis=args.model_axis, ggnn_impl=args.ggnn,
-        frozen_backbone_bn=args.frozen_bn)
+        frozen_backbone_bn=args.frozen_bn, grad_accum=accum)
     mesh = None
     if shard is not None:
         from situation_recognition_tpu.parallel.distributed import (

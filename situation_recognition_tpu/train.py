@@ -82,6 +82,18 @@ class TrainerConfig:
     # convnet_nouns 2/step via both noun branches) — normalize math per
     # batch is identical, only the EMA trajectories (used at eval) differ.
     frozen_backbone_bn: str = "train"    # train (parity) | eval (fast)
+    # Gradient accumulation: each optimizer step averages the gradients of
+    # ``grad_accum`` consecutive microbatches of ``batch_size`` rows — the
+    # way to run the reference's global-batch-6144 recipe when the
+    # backbone's forward activations don't fit HBM at the full batch
+    # (ViT-L/14 on few chips).  Semantics: the accumulated loss is the
+    # MEAN of the microbatch losses — exactly the big-batch loss when the
+    # microbatches are balanced (equal valid rows and equal per-annotation
+    # non-ignored counts; tested), O(count-skew) different otherwise —
+    # and train-mode BN computes per-MICRObatch statistics (the same
+    # divergence class as DataParallel's per-replica stats, DIVERGENCES
+    # #17; EMA updates run once per microbatch).
+    grad_accum: int = 1
 
 
 _RESNETS = {
@@ -370,6 +382,44 @@ class Trainer:
                 verbs, False, None)
             return self._losses(outs, verbs, labels, valid), self._topk(outs)
 
+        def grad_accum_step(head_params, acc, backbone_params,
+                            backbone_stats, dropout_key, images, flip,
+                            verbs, labels, valid):
+            # one microbatch: same math as train_step up to (and NOT
+            # including) the optimizer update; gradients accumulate into
+            # ``acc`` (donated), the update runs in apply_accum_step
+            feats, new_stats = self._features(
+                backbone_params, backbone_stats, images, flip, True)
+
+            def loss_fn(hp):
+                pred_verb, pred_nouns = self.head.apply(
+                    {"params": hp}, feats, self.role_ids, self.role_mask,
+                    train=True, rngs={"dropout": dropout_key},
+                    method=self.head.predict_train)
+                vloss = _masked_verb_loss(pred_verb, verbs, valid)
+                nloss = _masked_nouns_loss(pred_nouns, labels, L, valid)
+                return vloss + nloss, (pred_verb, pred_nouns, vloss, nloss)
+
+            grads, (pred_verb, pred_nouns, vloss, nloss) = jax.grad(
+                loss_fn, has_aux=True)(head_params)
+            gt_pred_nouns = self.head.apply(
+                {"params": head_params}, feats, verbs,
+                self.role_ids, self.role_mask, train=True,
+                rngs={"dropout": jax.random.fold_in(dropout_key, 1)},
+                method=self.head.predict_nouns)
+            gloss = _masked_nouns_loss(gt_pred_nouns, labels, L, valid)
+            acc = jax.tree.map(jnp.add, acc, grads)
+            outs = (pred_verb, pred_nouns, gt_pred_nouns)
+            return (acc, new_stats, (vloss, nloss, gloss),
+                    self._topk(outs))
+
+        def apply_accum_step(head_params, opt_state, acc, count):
+            # mean of the microbatch gradients; clip-then-adamax on the
+            # mean exactly as the fused train_step does on its one batch
+            mean = jax.tree.map(lambda g: g / count, acc)
+            updates, opt_state = tx.update(mean, opt_state, head_params)
+            return optax.apply_updates(head_params, updates), opt_state
+
         repl, bsh = self._repl, self._bsh
         # head_params/opt_state shardings are inferred from the arrays
         # (classifier kernels live on the model axis); batch over 'data'
@@ -379,6 +429,16 @@ class Trainer:
                           bsh, bsh, bsh, bsh, bsh),
             donate_argnums=(0, 1, 3),
         )
+        self._grad_accum_step = jax.jit(
+            grad_accum_step,
+            in_shardings=(None, None, repl, repl, repl,
+                          bsh, bsh, bsh, bsh, bsh),
+            donate_argnums=(1, 3),
+        )
+        self._apply_accum_step = jax.jit(
+            apply_accum_step, donate_argnums=(0, 1, 2))
+        self._zero_grads = jax.jit(
+            lambda hp: jax.tree.map(jnp.zeros_like, hp))
         self._eval_step = jax.jit(
             eval_step,
             in_shardings=(None, repl, repl, bsh, bsh, bsh, bsh),
@@ -574,15 +634,42 @@ class Trainer:
             self.step_count = int(mid_state["step_count"])
         loader.start_batch = start_batch
         batch_idx = start_batch
+        accum = max(1, int(self.config.grad_accum))
+        acc = None
+        micros = 0
+
+        def _apply_pending():
+            nonlocal acc, micros
+            if acc is not None and micros:
+                self.head_params, self.opt_state = self._apply_accum_step(
+                    self.head_params, self.opt_state, acc,
+                    jnp.float32(micros))
+            acc = None
+            micros = 0
+
         for arrays, valid, batch, n in self._device_batches(loader):
             key = jax.random.fold_in(self._dropout_base, self.step_count)
             if timer:
                 timer.start()
-            (self.head_params, self.opt_state, self.backbone_stats,
-             losses, topk) = self._train_step(
-                self.head_params, self.opt_state, self.backbone_params,
-                self.backbone_stats, key, arrays["images"], arrays["flip"],
-                arrays["verbs"], arrays["labels"], valid)
+            if accum == 1:
+                (self.head_params, self.opt_state, self.backbone_stats,
+                 losses, topk) = self._train_step(
+                    self.head_params, self.opt_state, self.backbone_params,
+                    self.backbone_stats, key, arrays["images"],
+                    arrays["flip"], arrays["verbs"], arrays["labels"],
+                    valid)
+            else:
+                if acc is None:
+                    acc = self._zero_grads(self.head_params)
+                (acc, self.backbone_stats, losses, topk) = \
+                    self._grad_accum_step(
+                        self.head_params, acc, self.backbone_params,
+                        self.backbone_stats, key, arrays["images"],
+                        arrays["flip"], arrays["verbs"], arrays["labels"],
+                        valid)
+                micros += 1
+                if micros == accum:
+                    _apply_pending()
             losses = [float(x) for x in losses]
             # _fetch: np.asarray single-process; all-gather of the
             # batch-sharded top-k rows in a multi-process world (every
@@ -600,7 +687,11 @@ class Trainer:
             self.step_count += 1
             batch_idx += 1
             if (save_every and save_callback
-                    and num_batches % save_every == 0):
+                    and num_batches % save_every == 0
+                    and micros == 0):
+                # with grad_accum, snapshots land only on optimizer-step
+                # boundaries — a mid-group snapshot would silently drop
+                # the accumulated gradients on resume
                 save_callback({
                     "batch_in_epoch": batch_idx,
                     "step_count": self.step_count,
@@ -609,6 +700,9 @@ class Trainer:
                     "loss_sums": sums.tolist(),
                     "num_batches": num_batches,
                 })
+        # epoch ended mid-group: step on what accumulated (the tail
+        # microbatches must not be silently discarded)
+        _apply_pending()
         return top1, top5, tuple(sums / max(num_batches, 1))
 
     def evaluate(self, loader, logging: bool = False):
