@@ -346,10 +346,16 @@ def main(argv=None) -> None:
     dev_json = _load_json(pjoin(args.dataset_folder, args.dev_file))
     test_json = _load_json(pjoin(args.dataset_folder, args.test_file))
 
+    # multi-process runs: only process 0 writes shared-filesystem caches
+    # (encoder, backbone.msgpack) — concurrent unguarded writes to the
+    # same path corrupt them; other ranks rebuild in memory instead
+    is_main = shard is None or shard[0] == 0
+
     encoder_path = pjoin(args.saving_folder, 'encoder')
     if not pisfile(encoder_path):
         encoder = ImsituEncoder(encoder_json)
-        encoder.save(encoder_path)
+        if is_main:
+            encoder.save(encoder_path)
     else:
         print("Loading encoder file")
         if _is_torch_checkpoint(encoder_path):
@@ -378,12 +384,19 @@ def main(argv=None) -> None:
     ndata = max(1, n_dev // args.model_axis)
     accum = max(1, args.grad_accum)
     # loaders/steps run at the MICRObatch; the optimizer batch is
-    # micro * accum (== --batch_size up to rounding)
-    quantum = ndata * accum
+    # micro * accum (== --batch_size up to rounding).  In a multi-process
+    # world each microbatch must also split evenly across processes
+    # (model groups never span processes — make_distributed_mesh rejects
+    # that — so world | ndata holds; the lcm is belt-and-braces)
+    import math
+
+    world = shard[1] if shard is not None else 1
+    quantum = math.lcm(ndata, world) * accum
     if batch % quantum != 0:
         batch = ((batch + quantum - 1) // quantum) * quantum
         print(f'[srtpu] batch_size rounded up to {batch} '
-              f'(divisible by data axis {ndata} x grad_accum {accum})',
+              f'(divisible by data axis {ndata} x grad_accum {accum}'
+              + (f' x world {world}' if world > 1 else '') + ')',
               file=sys.stderr)
     batch //= accum
 
@@ -477,7 +490,7 @@ def main(argv=None) -> None:
              if pisfile(p)), None)
         if default_bb is not None:
             _load_backbone(trainer, default_bb)
-            if not default_bb.endswith('.msgpack'):
+            if not default_bb.endswith('.msgpack') and is_main:
                 cache = pjoin(args.saving_folder, 'backbone.msgpack')
                 _save_backbone_msgpack(trainer, cache)
                 print(f'[srtpu] converted {default_bb} -> {cache} '

@@ -3,7 +3,6 @@ from situation_recognition_tpu.parallel.distributed import (  # noqa: F401
     init_distributed,
     is_main_process,
     make_distributed_mesh,
-    process_batch_slice,
 )
 from situation_recognition_tpu.parallel.mesh import (  # noqa: F401
     batch_sharding,

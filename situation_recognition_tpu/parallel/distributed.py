@@ -86,20 +86,21 @@ def make_distributed_mesh(model: int = 1,
     if n % model != 0:
         raise ValueError(f"{n} devices not divisible by model={model}")
     arr = np.asarray(devices).reshape(n // model, model)
+    if model > 1:
+        # a model group spanning two processes breaks the contiguous
+        # per-process data-block layout the sharded loader assumes (and
+        # would route the classifier partial-sum all-reduce over DCN);
+        # reject instead of producing shape errors deep inside
+        # make_array_from_process_local_data
+        for row in arr:
+            procs = {d.process_index for d in row}
+            if len(procs) > 1:
+                raise ValueError(
+                    f"model_axis={model} does not divide the per-process "
+                    f"device count — a model group would span processes "
+                    f"{sorted(procs)}; use a model_axis that divides "
+                    f"jax.local_device_count()")
     return Mesh(arr, ("data", "model"))
-
-
-def process_batch_slice(batch_size: int) -> slice:
-    """This process's contiguous row block of a global batch (the rows its
-    devices own under the process-major data mesh)."""
-    world = jax.process_count()
-    if batch_size % world != 0:
-        raise ValueError(
-            f"global batch {batch_size} not divisible by "
-            f"{world} processes")
-    per = batch_size // world
-    r = jax.process_index()
-    return slice(r * per, (r + 1) * per)
 
 
 def fetch(x) -> np.ndarray:

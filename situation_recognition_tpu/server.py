@@ -115,6 +115,20 @@ class DynamicBatcher:
 
     # ---------------------------------------------------------- dispatch
 
+    def _drain_and_serve(self, kind: str) -> None:
+        """Serve everything still queued (close path), in max_batch groups."""
+        q = self._queues[kind]
+        leftovers = []
+        while True:
+            try:
+                item = q.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None:
+                leftovers.append(item)
+        for lo in range(0, len(leftovers), self._max_batch):
+            self._run(kind, leftovers[lo:lo + self._max_batch])
+
     def _dispatch_loop(self, kind: str) -> None:
         q = self._queues[kind]
         while True:
@@ -125,6 +139,9 @@ class DynamicBatcher:
                     return
                 continue
             if first is None:          # close sentinel
+                # a submit racing close() may have landed behind the
+                # sentinel — serve it rather than strand its Future
+                self._drain_and_serve(kind)
                 return
             batch = [first]
             deadline = _now() + self._max_wait_s
@@ -172,12 +189,19 @@ class DynamicBatcher:
             f.set_result(row)
 
     def close(self) -> None:
-        """Drain-and-stop: queued requests are still served."""
+        """Drain-and-stop: every request submitted before close() returns
+        is still served (the dispatcher drains behind its sentinel, and a
+        final synchronous drain here catches anything that slipped in
+        while the threads were exiting).  Submitting concurrently with
+        close() is a caller error; such a request is served on a
+        best-effort basis or rejected by the _closed check."""
         self._closed = True
         for q in self._queues.values():
             q.put(None)
         for t in self._threads:
             t.join(timeout=30)
+        for kind in self._queues:
+            self._drain_and_serve(kind)
 
 
 def _now() -> float:
@@ -207,9 +231,11 @@ def _display(label: str) -> str:
 
 
 def _softmax(x: np.ndarray) -> np.ndarray:
-    x = x.astype(np.float64) - x.max()
-    e = np.exp(x)
-    return e / e.sum()
+    # the one stable-softmax implementation (inference.py) — a second
+    # copy here would fork any future numerics fix
+    from situation_recognition_tpu.inference import _softmax as sm
+
+    return sm(np.asarray(x, np.float64), axis=-1)
 
 
 def _role_rows(meta: dict, verb: str, noun_logits: np.ndarray):
@@ -263,9 +289,13 @@ class _Handler:
             window = _decode_body(body)
         except Exception as e:       # noqa: BLE001
             return 400, {"error": f"could not decode image: {e}"}
+        import concurrent.futures as cf
+
         try:
             return self._predict_decoded(window, verb)
-        except TimeoutError:
+        # both spellings: cf.TimeoutError only aliases the builtin from
+        # Python 3.11 — on 3.10 (supported per pyproject) they differ
+        except (TimeoutError, cf.TimeoutError):
             return 504, {"error": f"inference timed out after "
                                   f"{self.timeout_s}s"}
         except Exception as e:       # noqa: BLE001 — JSON, not a dropped
@@ -280,6 +310,10 @@ class _Handler:
             # the CLI; an API should not silently ignore an argument)
             if verb not in self._verb_index:
                 return 400, {"error": f"unknown verb {verb!r}"}
+            if "gt" not in self.batcher._queues:
+                # capability of the artifact, not a server fault
+                return 400, {"error": "artifact has no gt-verb entry "
+                                      "(format_version < 2); re-export"}
             vid = self._verb_index[verb]
             fut = self.batcher.submit_gt(window, vid)
             row = fut.result(timeout=self.timeout_s)

@@ -10,7 +10,7 @@ masks or batch statistics (those divergences are documented, not bugs —
 TrainerConfig.grad_accum docstring / DIVERGENCES #17 class).
 """
 
-import json
+
 
 import jax.numpy as jnp
 import numpy as np
@@ -22,13 +22,12 @@ from situation_recognition_tpu.train import Trainer, TrainerConfig
 
 
 @pytest.fixture(scope="module")
-def balanced(tmp_path_factory):
+def balanced(overfitting_json, tmp_path_factory):
     """16 images, all annotated with the SAME situation (one verb, one
     label set) — every microbatch split has identical loss denominators."""
     from PIL import Image
 
-    with open("imSitu/overfitting.json") as f:
-        ann0 = json.load(f)
+    ann0 = overfitting_json
     item = next(iter(ann0.values()))
     ann = {f"img_{i}.jpg": item for i in range(16)}
 
