@@ -549,7 +549,11 @@ def main(argv=None) -> None:
                                      'backbone_stats', 'opt_state')}
         trainer.fit(train_loader, dev_loader, args.model_saving_name,
                     folder=args.saving_folder, checkpoint=fit_ckpt,
-                    save_every_steps=args.save_steps or None)
+                    save_every_steps=args.save_steps or None,
+                    # preemption-safe: SIGTERM (scheduler eviction /
+                    # TPU-VM maintenance) → one resumable snapshot at the
+                    # next step boundary, then clean exit 0
+                    handle_sigterm=True)
 
 
 if __name__ == '__main__':

@@ -51,6 +51,19 @@ from situation_recognition_tpu.parallel.mesh import make_mesh
 from situation_recognition_tpu.utils.logging import StepTimer, format_dict
 
 
+class Preempted(Exception):
+    """Raised out of the train loop after a preemption-triggered snapshot
+    (``fit(handle_sigterm=True)``): the mid-epoch checkpoint is already on
+    disk and the process should exit cleanly so the scheduler's relaunch
+    resumes from the exact batch (``--resume_model``)."""
+
+    def __init__(self, epoch: int, batch_in_epoch: int):
+        super().__init__(f"preempted at epoch {epoch}, "
+                         f"batch {batch_in_epoch}")
+        self.epoch = epoch
+        self.batch_in_epoch = batch_in_epoch
+
+
 @dataclasses.dataclass
 class TrainerConfig:
     hidden: int = 2048
@@ -603,7 +616,8 @@ class Trainer:
                     timer: Optional[StepTimer] = None,
                     mid_state: Optional[dict] = None,
                     save_every: Optional[int] = None,
-                    save_callback=None):
+                    save_callback=None,
+                    preempt=None):
         """One epoch; returns (top1, top5, mean losses tuple).
 
         Step-granularity recovery (capability the reference lacks — its
@@ -611,6 +625,12 @@ class Trainer:
         ``save_callback(mid)`` fires every N batches with a resumable
         accumulator snapshot; pass it back as ``mid_state`` to continue the
         epoch from the next batch.
+
+        ``preempt`` (a ``threading.Event``): preemption-safe shutdown —
+        when set (``fit(handle_sigterm=True)`` sets it from SIGTERM), the
+        loop fires ``save_callback`` with a resumable snapshot at the next
+        optimizer-step boundary and raises ``Preempted``, so an evicted
+        run loses zero completed steps instead of up to ``save_every``.
         """
         loader.set_epoch(epoch)
         top1 = ImsituScorer(self.encoder, 1, 3)
@@ -686,20 +706,29 @@ class Trainer:
             num_batches += 1
             self.step_count += 1
             batch_idx += 1
-            if (save_every and save_callback
-                    and num_batches % save_every == 0
-                    and micros == 0):
-                # with grad_accum, snapshots land only on optimizer-step
-                # boundaries — a mid-group snapshot would silently drop
-                # the accumulated gradients on resume
-                save_callback({
+            def _mid():
+                return {
                     "batch_in_epoch": batch_idx,
                     "step_count": self.step_count,
                     "top1": top1.state_dict(),
                     "top5": top5.state_dict(),
                     "loss_sums": sums.tolist(),
                     "num_batches": num_batches,
-                })
+                }
+
+            if (save_every and save_callback
+                    and num_batches % save_every == 0
+                    and micros == 0):
+                # with grad_accum, snapshots land only on optimizer-step
+                # boundaries — a mid-group snapshot would silently drop
+                # the accumulated gradients on resume
+                save_callback(_mid())
+            if preempt is not None and preempt.is_set() and micros == 0:
+                # same boundary rule as above; mid-group, keep running
+                # until the group's optimizer step lands
+                if save_callback:
+                    save_callback(_mid())
+                raise Preempted(epoch, batch_idx)
         # epoch ended mid-group: step on what accumulated (the tail
         # microbatches must not be silently discarded)
         _apply_pending()
@@ -750,13 +779,22 @@ class Trainer:
             folder: str, checkpoint: Optional[dict] = None,
             plot: bool = True, save: bool = True,
             timer: Optional[StepTimer] = None,
-            save_every_steps: Optional[int] = None):
+            save_every_steps: Optional[int] = None,
+            handle_sigterm: bool = False):
         """Reference ``train`` (sr.py:15-162): epoch loop with identical
         stdout, per-epoch dev eval, curve plot, and overwrite checkpointing.
 
         ``save_every_steps``: additionally checkpoint every N train steps
         with a resumable mid-epoch snapshot (preemption recovery at step
-        granularity — the reference can only lose/redo whole epochs)."""
+        granularity — the reference can only lose/redo whole epochs).
+
+        ``handle_sigterm``: preemption-safe shutdown (the CLI sets it).
+        SIGTERM — what cluster schedulers and TPU-VM maintenance events
+        send before eviction — triggers one resumable mid-epoch snapshot
+        at the next optimizer-step boundary, then returns cleanly (exit
+        0), so the relaunch loses zero completed steps.  Only the main
+        thread can own signal handlers; callers on other threads get the
+        flag-checking path with no handler installed."""
         import os
 
         from situation_recognition_tpu.utils.checkpoint import save_checkpoint
@@ -801,7 +839,44 @@ class Trainer:
         if timer is None:
             timer = StepTimer()
 
+        import signal
+        import threading
+
+        preempt = threading.Event()
+        prev_handler = None
+        if handle_sigterm and threading.current_thread() is threading.main_thread():
+            prev_handler = signal.signal(
+                signal.SIGTERM, lambda signum, frame: preempt.set())
+        try:
+            self._fit_epochs(
+                train_loader, dev_loader, model_saving_name, folder,
+                histories, epoch, mid_state, plot, save, timer,
+                save_every_steps, save_mid, profile_dir, preempt)
+        except Preempted as p:
+            # the snapshot is already on disk (train_epoch saved before
+            # raising); stderr so stdout stays reference-byte-compatible
+            print(f'[srtpu] SIGTERM: saved resumable checkpoint at '
+                  f'epoch {p.epoch} batch {p.batch_in_epoch}; exiting '
+                  f'cleanly (relaunch with --resume_model to continue)',
+                  file=sys.stderr)
+        finally:
+            if prev_handler is not None:
+                signal.signal(signal.SIGTERM, prev_handler)
+
+    def _fit_epochs(self, train_loader, dev_loader, model_saving_name,
+                    folder, histories, epoch, mid_state, plot, save, timer,
+                    save_every_steps, save_mid, profile_dir, preempt):
+        import os
+        import sys
+
+        from situation_recognition_tpu.utils.checkpoint import save_checkpoint
+        from situation_recognition_tpu.utils.logging import jax_profile_trace
+
         for e in range(epoch, self.config.epochs):
+            if preempt.is_set():
+                # flagged outside the batch loop (during eval / between
+                # epochs): the end-of-epoch checkpoint is already written
+                raise Preempted(e, 0)
             print('Epoch-{}, lr: {:.4f}'.format(e, self.config.lr))
             timer.reset()
             self._current_epoch = e
@@ -809,7 +884,8 @@ class Trainer:
                 top1, top5, (vloss, nloss, gloss) = self.train_epoch(
                     train_loader, e, timer=timer, mid_state=mid_state,
                     save_every=save_every_steps,
-                    save_callback=save_mid if save else None)
+                    save_callback=save_mid if save else None,
+                    preempt=preempt)
             mid_state = None
             if timer.images_per_sec > 0:
                 # observability the reference lacks (SURVEY §5a); stderr so

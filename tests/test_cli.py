@@ -236,3 +236,52 @@ def test_subset_mode_works_from_packed_store(workdir, tmp_path):
                 "--imgset_dir", str(empty))
     assert r.returncode == 0, r.stderr[-3000:]
     assert "Analizing: " in r.stdout
+
+
+def test_sigterm_preemption_exits_clean_and_resumes(workdir):
+    """Real-signal preemption drill: SIGTERM mid-training must produce a
+    resumable checkpoint, the stderr notice, and exit code 0 (what a
+    cluster scheduler's eviction sees); --resume_model then continues."""
+    import signal
+    import time
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["JAX_PLATFORM_NAME"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    env["JAX_COMPILATION_CACHE_DIR"] = CACHE_DIR
+    env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "1"
+    folder = "checkpoints_preempt"
+    cmd = [sys.executable, os.path.join(REPO, "sr.py"),
+           "--backbone", "mini", "--batch_size", "2", "--num_workers", "2",
+           "--platform", "cpu", "--precision", "fp32",
+           "--epochs", "1000", "--saving_folder", folder]
+    p = subprocess.Popen(cmd, cwd=workdir, env=env,
+                         stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                         text=True)
+    try:
+        ckpt = os.path.join(workdir, folder, "sr")
+        deadline = time.time() + 420
+        while time.time() < deadline and not os.path.exists(ckpt):
+            assert p.poll() is None, p.communicate()[1][-3000:]
+            time.sleep(0.5)
+        assert os.path.exists(ckpt), "no checkpoint within the deadline"
+        time.sleep(1.0)  # get past the save into the next epoch's work
+        p.send_signal(signal.SIGTERM)
+        out, err = p.communicate(timeout=180)
+    finally:
+        if p.poll() is None:
+            p.kill()
+            p.communicate()
+    assert p.returncode == 0, (p.returncode, err[-3000:])
+    assert "[srtpu] SIGTERM: saved resumable checkpoint" in err, err[-3000:]
+
+    from situation_recognition_tpu.utils.checkpoint import load_checkpoint
+
+    state = load_checkpoint(ckpt)
+    saved_epoch = int(state["epoch"])
+    # resume finishes the preempted epoch (and trains through saved_epoch)
+    r = run_cli(workdir, "--resume_model", "sr", "--saving_folder", folder,
+                "--epochs", str(saved_epoch + 1))
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert f"Epoch-{saved_epoch}, lr:" in r.stdout, r.stdout[-2000:]

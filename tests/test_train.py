@@ -283,3 +283,69 @@ def test_epoch_boundary_resume_continues_dropout_stream(encoder, loaders):
     for a, b in zip(jax.tree.leaves(straight.head_params),
                     jax.tree.leaves(resumed.head_params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_preempt_event_snapshots_and_raises(encoder, loaders):
+    """Preemption flag (fit(handle_sigterm=True)'s SIGTERM path): the epoch
+    loop must save one resumable snapshot at the first optimizer-step
+    boundary and raise Preempted — and the snapshot must resume exactly
+    like a --save_steps one (same schema, same batch accounting)."""
+    import threading
+
+    from situation_recognition_tpu.train import Preempted
+
+    train_loader, _ = loaders
+    loader = ImsituLoader(train_loader.dataset, batch_size=2,
+                          shuffle=True, seed=3)  # 3 batches (2+2+1)
+    cfg = TrainerConfig(hidden=64, batch_size=8, backbone="mini",
+                        compute_dtype=jnp.float32, lr=0.01)
+    tr = Trainer(encoder, cfg)
+
+    ev = threading.Event()
+    ev.set()  # "SIGTERM already delivered" — must stop after ONE step
+    mids = []
+    with pytest.raises(Preempted) as ei:
+        tr.train_epoch(loader, epoch=0, save_callback=mids.append,
+                       preempt=ev)
+    assert len(mids) == 1
+    assert mids[0]["batch_in_epoch"] == 1
+    assert ei.value.batch_in_epoch == 1
+
+    # the snapshot resumes the epoch with every example counted once
+    tr2 = Trainer(encoder, cfg)
+    top1, _, losses = tr2.train_epoch(loader, epoch=0, mid_state=mids[0])
+    assert len(top1) == 5  # 2 (snapshot) + 3 remaining
+    assert all(np.isfinite(losses))
+
+    # without a save_callback (non-main ranks in multi-process DP) the
+    # flag still stops the loop — no snapshot, clean raise
+    tr3 = Trainer(encoder, cfg)
+    with pytest.raises(Preempted):
+        tr3.train_epoch(loader, epoch=0, preempt=ev)
+
+
+def test_preempt_waits_for_accum_group_boundary(encoder, loaders):
+    """With grad_accum, preemption must not snapshot mid-group (the
+    accumulated gradients would be silently dropped on resume): the raise
+    lands only after the group's optimizer step applies."""
+    import threading
+
+    from situation_recognition_tpu.train import Preempted
+
+    train_loader, _ = loaders
+    loader = ImsituLoader(train_loader.dataset, batch_size=2,
+                          shuffle=True, seed=3)  # 3 batches
+    cfg = TrainerConfig(hidden=64, batch_size=8, backbone="mini",
+                        compute_dtype=jnp.float32, lr=0.01, grad_accum=2)
+    tr = Trainer(encoder, cfg)
+
+    ev = threading.Event()
+    ev.set()
+    mids = []
+    with pytest.raises(Preempted) as ei:
+        tr.train_epoch(loader, epoch=0, save_callback=mids.append,
+                       preempt=ev)
+    # batch 1 is mid-group (micros=1, no stop); batch 2 completes the
+    # 2-microbatch group -> snapshot + raise at batch_in_epoch == 2
+    assert ei.value.batch_in_epoch == 2
+    assert mids and mids[0]["batch_in_epoch"] == 2
