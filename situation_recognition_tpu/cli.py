@@ -106,6 +106,17 @@ def build_parser() -> ArgumentParser:
     parser.add_argument('--save_steps', type=int, default=0,
                         help='Also checkpoint every N train steps '
                              '(mid-epoch, preemption-safe resume)')
+    parser.add_argument('--keep_best', action='store_true',
+                        help='Additionally keep the best-val-mean epoch '
+                             'as <model_saving_name>_best (the reference '
+                             'overwrites every epoch and its own comment '
+                             'flags this gap, sr.py:144)')
+    parser.add_argument('--metrics_jsonl', type=str, default='',
+                        help='Append one JSON line of structured metrics '
+                             'per epoch (losses, all 8 metrics, val, '
+                             'throughput) to this path — machine-readable '
+                             'observability next to the reference-format '
+                             'stdout')
     parser.add_argument('--cache_device', action='store_true',
                         help='Keep ALL image windows resident in device '
                              'HBM (uploaded once; every batch becomes an '
@@ -553,7 +564,9 @@ def main(argv=None) -> None:
                     # preemption-safe: SIGTERM (scheduler eviction /
                     # TPU-VM maintenance) → one resumable snapshot at the
                     # next step boundary, then clean exit 0
-                    handle_sigterm=True)
+                    handle_sigterm=True,
+                    keep_best=args.keep_best,
+                    metrics_jsonl=args.metrics_jsonl or None)
 
 
 if __name__ == '__main__':

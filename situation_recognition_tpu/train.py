@@ -780,7 +780,9 @@ class Trainer:
             plot: bool = True, save: bool = True,
             timer: Optional[StepTimer] = None,
             save_every_steps: Optional[int] = None,
-            handle_sigterm: bool = False):
+            handle_sigterm: bool = False,
+            keep_best: bool = False,
+            metrics_jsonl: Optional[str] = None):
         """Reference ``train`` (sr.py:15-162): epoch loop with identical
         stdout, per-epoch dev eval, curve plot, and overwrite checkpointing.
 
@@ -794,7 +796,18 @@ class Trainer:
         at the next optimizer-step boundary, then returns cleanly (exit
         0), so the relaunch loses zero completed steps.  Only the main
         thread can own signal handlers; callers on other threads get the
-        flag-checking path with no handler installed."""
+        flag-checking path with no handler installed.
+
+        ``keep_best``: additionally save the best-val-mean epoch to
+        ``<model_saving_name>_best`` (the reference overwrites its single
+        checkpoint every epoch and its own comment flags the gap,
+        sr.py:144: "always saving but no need if it's not the best
+        score").  "Best so far" counts resumed history, so a restarted
+        run never demotes an earlier better epoch.
+
+        ``metrics_jsonl``: append one JSON line per epoch (losses, all
+        eight metrics ×100 like the prints, val, throughput) — structured
+        observability; stdout stays reference-byte-compatible."""
         import os
 
         from situation_recognition_tpu.utils.checkpoint import save_checkpoint
@@ -807,6 +820,7 @@ class Trainer:
         if jax.process_count() > 1 and jax.process_index() != 0:
             plot = False
             save = False
+            metrics_jsonl = None
 
         histories = {k: [] for k in [
             "avg_scores", "verb_losses", "nouns_losses",
@@ -851,7 +865,8 @@ class Trainer:
             self._fit_epochs(
                 train_loader, dev_loader, model_saving_name, folder,
                 histories, epoch, mid_state, plot, save, timer,
-                save_every_steps, save_mid, profile_dir, preempt)
+                save_every_steps, save_mid, profile_dir, preempt,
+                keep_best, metrics_jsonl)
         except Preempted as p:
             # the snapshot is already on disk (train_epoch saved before
             # raising); stderr so stdout stays reference-byte-compatible
@@ -865,9 +880,12 @@ class Trainer:
 
     def _fit_epochs(self, train_loader, dev_loader, model_saving_name,
                     folder, histories, epoch, mid_state, plot, save, timer,
-                    save_every_steps, save_mid, profile_dir, preempt):
+                    save_every_steps, save_mid, profile_dir, preempt,
+                    keep_best=False, metrics_jsonl=None):
+        import json
         import os
         import sys
+        import time
 
         from situation_recognition_tpu.utils.checkpoint import save_checkpoint
         from situation_recognition_tpu.utils.logging import jax_profile_trace
@@ -915,6 +933,23 @@ class Trainer:
             histories["val_verb_losses"].append(val_losses["verb_loss"])
             histories["val_nouns_losses"].append(val_losses["nouns_loss"])
 
+            if metrics_jsonl:
+                rec = {
+                    "epoch": e, "lr": self.config.lr,
+                    "train_losses": {"verb": vloss, "nouns": nloss,
+                                     "gt": gloss},
+                    "train_top1": {k: v * 100 for k, v in top1_a.items()},
+                    "train_top5": {k: v * 100 for k, v in top5_a.items()},
+                    "train_mean": avg_score,
+                    "val_losses": val_losses,
+                    "val_mean": val_avg,
+                    "img_per_sec": timer.images_per_sec,
+                    "ms_per_step": timer.mean_step_time * 1000,
+                    "time": time.time(),
+                }
+                with open(metrics_jsonl, "a") as f:
+                    f.write(json.dumps(rec) + "\n")
+
             if plot:
                 self._plot(histories, os.path.join(
                     folder, model_saving_name + ".png"))
@@ -923,6 +958,14 @@ class Trainer:
                 ckpt = {"epoch": e + 1, **histories,
                         **self.model_state_dict()}
                 save_checkpoint(os.path.join(folder, model_saving_name), ckpt)
+                if keep_best and val_avg >= max(
+                        histories["val_avg_scores"][:-1], default=-1.0):
+                    # >= so the first epoch always seeds the best file;
+                    # [:-1] includes any resumed history, so a restart
+                    # never demotes an earlier better epoch
+                    save_checkpoint(
+                        os.path.join(folder, model_saving_name + "_best"),
+                        ckpt)
 
     @staticmethod
     def _plot(histories, path):

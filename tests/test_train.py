@@ -349,3 +349,55 @@ def test_preempt_waits_for_accum_group_boundary(encoder, loaders):
     # 2-microbatch group -> snapshot + raise at batch_in_epoch == 2
     assert ei.value.batch_in_epoch == 2
     assert mids and mids[0]["batch_in_epoch"] == 2
+
+
+def test_keep_best_and_metrics_jsonl(encoder, loaders, tmp_path, capsys):
+    """--keep_best writes <name>_best at the best-val-mean epoch (the
+    reference's own sr.py:144 comment flags this gap); --metrics_jsonl
+    appends one structured record per epoch."""
+    from situation_recognition_tpu.utils.checkpoint import load_checkpoint
+
+    train_loader, dev_loader = loaders
+    cfg = TrainerConfig(hidden=64, batch_size=8, backbone="mini",
+                        compute_dtype=jnp.float32, lr=0.01, epochs=2)
+    tr = Trainer(encoder, cfg)
+    mpath = str(tmp_path / "metrics.jsonl")
+    tr.fit(train_loader, dev_loader, "sr_kb", str(tmp_path), plot=False,
+           keep_best=True, metrics_jsonl=mpath)
+    capsys.readouterr()
+
+    with open(mpath) as f:
+        recs = [json.loads(line) for line in f]
+    assert [r["epoch"] for r in recs] == [0, 1]
+    for r in recs:
+        assert set(r) >= {"train_losses", "train_top1", "train_top5",
+                          "train_mean", "val_losses", "val_mean",
+                          "img_per_sec", "ms_per_step"}
+        assert set(r["train_top1"]) == {"verb", "value", "value-all",
+                                        "gt-value", "gt-value-all"}
+        assert np.isfinite(r["val_losses"]["verb_loss"])
+
+    best = load_checkpoint(str(tmp_path / "sr_kb_best"))
+    final = load_checkpoint(str(tmp_path / "sr_kb"))
+    vals = final["val_avg_scores"]
+    b = int(best["epoch"]) - 1
+    # the best file holds the (last) epoch achieving the max val mean
+    assert vals[b] == max(vals), (vals, b)
+    assert recs[b]["val_mean"] == pytest.approx(vals[b])
+
+    # resume never demotes: a resumed history with a better past epoch
+    # suppresses the best write entirely
+    from situation_recognition_tpu.utils.checkpoint import save_checkpoint
+
+    tr2 = Trainer(encoder, cfg)
+    save_checkpoint(str(tmp_path / "sr_kb2_seed"), {
+        "epoch": 1, "avg_scores": [1.0], "verb_losses": [1.0],
+        "nouns_losses": [1.0], "val_avg_scores": [999.0],
+        "val_verb_losses": [1.0], "val_nouns_losses": [1.0],
+        **tr2.model_state_dict()})
+    ck = load_checkpoint(str(tmp_path / "sr_kb2_seed"))
+    tr2.fit(train_loader, dev_loader, "sr_kb2", str(tmp_path), plot=False,
+            checkpoint=ck, keep_best=True)
+    capsys.readouterr()
+    assert os.path.exists(str(tmp_path / "sr_kb2"))
+    assert not os.path.exists(str(tmp_path / "sr_kb2_best"))
