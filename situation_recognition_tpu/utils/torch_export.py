@@ -96,6 +96,63 @@ def export_resnet_state(params: Mapping, stats: Mapping,
     return out
 
 
+def export_vit_state(params: Mapping) -> Dict[str, np.ndarray]:
+    """flax params tree of ``models/vit.py:ViT`` → torchvision
+    VisionTransformer ``state_dict`` (numpy values) — the inverse of
+    ``torch_convert.convert_vit`` (modern ``mlp.linear_{1,2}`` spelling).
+
+    The export is the BACKBONE state (fc-less, like the reference's
+    Identity-fc ResNet); torchvision's classifier ``heads.*`` keys are
+    absent, so consumers load with ``strict=False`` (or into a headless
+    module).  CLIP-variant trees (``ln_pre`` present) are rejected —
+    CLIP's visual-tower layout is an import-only format here."""
+    if "ln_pre" in params:
+        raise ValueError("CLIP-variant ViT trees have no torchvision "
+                         "equivalent; export supports the torchvision "
+                         "layout only")
+    out: Dict[str, np.ndarray] = {}
+    out["class_token"] = _f32(params["cls_token"])
+    out["conv_proj.weight"] = _conv_back(params["patch_embed"]["kernel"])
+    out["conv_proj.bias"] = _f32(params["patch_embed"]["bias"])
+    out["encoder.pos_embedding"] = _f32(params["pos_embed"])
+
+    blocks = sorted((int(k[len("block"):]), k)
+                    for k in params if k.startswith("block"))
+    if not blocks:
+        raise ValueError("no encoder blocks in the params tree "
+                         "(not a models/vit.py backbone?)")
+    D = int(np.asarray(params["cls_token"]).shape[-1])
+    for i, key in blocks:
+        blk = params[key]
+        dst = f"encoder.layers.encoder_layer_{i}"
+        for ours, theirs in (("ln1", "ln_1"), ("ln2", "ln_2")):
+            out[f"{dst}.{theirs}.weight"] = _f32(blk[ours]["scale"])
+            out[f"{dst}.{theirs}.bias"] = _f32(blk[ours]["bias"])
+        attn = blk["attn"]
+        # flax DenseGeneral kernels (D, H, Dh) pack back into torch's
+        # (3D, D) in_proj rows (q, k, v stacked; y = x @ W.T)
+        out[f"{dst}.self_attention.in_proj_weight"] = np.concatenate(
+            [_linear_back(np.asarray(attn[n]["kernel"]).reshape(D, D))
+             for n in ("query", "key", "value")], axis=0)
+        out[f"{dst}.self_attention.in_proj_bias"] = np.concatenate(
+            [_f32(attn[n]["bias"]).reshape(D)
+             for n in ("query", "key", "value")], axis=0)
+        out[f"{dst}.self_attention.out_proj.weight"] = _linear_back(
+            np.asarray(attn["out"]["kernel"]).reshape(D, D))
+        out[f"{dst}.self_attention.out_proj.bias"] = _f32(
+            attn["out"]["bias"])
+        out[f"{dst}.mlp.linear_1.weight"] = _linear_back(
+            blk["mlp"]["fc1"]["kernel"])
+        out[f"{dst}.mlp.linear_1.bias"] = _f32(blk["mlp"]["fc1"]["bias"])
+        out[f"{dst}.mlp.linear_2.weight"] = _linear_back(
+            blk["mlp"]["fc2"]["kernel"])
+        out[f"{dst}.mlp.linear_2.bias"] = _f32(blk["mlp"]["fc2"]["bias"])
+
+    out["encoder.ln.weight"] = _f32(params["ln_final"]["scale"])
+    out["encoder.ln.bias"] = _f32(params["ln_final"]["bias"])
+    return out
+
+
 def export_reference_state_dict(
     backbone_params: Mapping, backbone_stats: Mapping,
     head_params: Mapping,

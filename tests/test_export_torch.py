@@ -181,7 +181,7 @@ def test_export_tool_roundtrip(tmp_path, encoder, ref_model, converted):
 
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "export_torch.py"),
-         src, dst],
+         "checkpoint", src, dst],
         capture_output=True, text=True,
         env={**os.environ, "JAX_PLATFORMS": "cpu"})
     assert r.returncode == 0, r.stderr[-2000:]
@@ -239,3 +239,71 @@ def _flatten(tree, prefix=""):
         else:
             out[p] = np.asarray(v)
     return out
+
+
+def test_export_vit_backbone_roundtrip_exact(encoder):
+    """torchvision-layout ViT: convert_vit -> export_vit_state is the
+    identity against the clean-room torchvision replica's state_dict."""
+    from situation_recognition_tpu.utils.torch_export import export_vit_state
+    from tests.test_vit import _make_torchvision_vit
+
+    torch.manual_seed(11)
+    tv = _make_torchvision_vit(patch=8, width=32, depth=2, heads=4, img=32)
+    sd = {k: np.asarray(v.detach().numpy())
+          for k, v in tv.state_dict().items()}
+    params = torch_convert.convert_vit(sd, num_heads=4)
+    back = export_vit_state(params)
+    assert set(back) == set(sd)
+    for k in sd:
+        np.testing.assert_array_equal(back[k], sd[k], err_msg=k)
+
+    # CLIP-variant trees are rejected (import-only layout)
+    clip_like = dict(params)
+    clip_like["ln_pre"] = {"scale": np.ones(32), "bias": np.zeros(32)}
+    with pytest.raises(ValueError, match="CLIP"):
+        export_vit_state(clip_like)
+
+
+@pytest.mark.slow
+def test_export_backbone_tool_resnet_and_vit(tmp_path, converted):
+    """tools/export_torch.py backbone: msgpack -> torchvision .pth for
+    both backbone families, values matching the source trees exactly."""
+    from flax import serialization
+
+    from situation_recognition_tpu.utils.torch_export import (
+        export_resnet_state, export_vit_state)
+    from tests.test_vit import _make_torchvision_vit
+
+    bparams, bstats, _ = converted
+    src_r = str(tmp_path / "bb_resnet.msgpack")
+    with open(src_r, "wb") as f:
+        f.write(serialization.msgpack_serialize(
+            {"params": bparams, "batch_stats": bstats}))
+
+    torch.manual_seed(13)
+    tv = _make_torchvision_vit(patch=8, width=32, depth=1, heads=4, img=32)
+    vit_params = torch_convert.convert_vit(
+        {k: np.asarray(v.detach().numpy())
+         for k, v in tv.state_dict().items()}, num_heads=4)
+    src_v = str(tmp_path / "bb_vit.msgpack")
+    with open(src_v, "wb") as f:
+        f.write(serialization.msgpack_serialize(
+            {"params": vit_params, "batch_stats": {}}))
+
+    for src, dst, oracle in (
+            (src_r, str(tmp_path / "bb_resnet.pth"),
+             export_resnet_state(bparams, bstats)),
+            (src_v, str(tmp_path / "bb_vit.pth"),
+             export_vit_state(vit_params))):
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "export_torch.py"),
+             "backbone", src, dst],
+            capture_output=True, text=True,
+            env={**os.environ, "JAX_PLATFORMS": "cpu"})
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "torchvision-layout backbone" in r.stdout
+        got = torch.load(dst, map_location="cpu", weights_only=True)
+        assert set(got) == set(oracle)
+        for k in oracle:
+            np.testing.assert_array_equal(got[k].numpy(),
+                                          np.asarray(oracle[k]), err_msg=k)
