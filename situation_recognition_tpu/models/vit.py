@@ -186,6 +186,41 @@ class ViT(nn.Module):
         if self.clip_variant:
             x = nn.LayerNorm(epsilon=ln_eps, dtype=jnp.float32,
                              name="ln_pre")(x)
+        if self._use_stream(x):
+            # fused STREAM path: all blocks in one flattened 8-row-aligned
+            # token domain (ops/vit_pallas.py _fused_stack_impl — deletes
+            # the two per-block relayout reshapes the per-block kernels
+            # pay at N % 8 != 0, ~84 ms/step at the ViT-L/14 parity
+            # shape), returning pre-ln_final CLS rows directly.  ln_final
+            # is row-local, so applying it to the CLS rows only is exact.
+            from situation_recognition_tpu.ops.vit_pallas import (
+                fused_encoder_cls_stack)
+            d = self.width
+            p = self.variables["params"]
+
+            def wts(i):
+                bp = p[f"block{i}"]
+                a = bp["attn"]
+                return (a["query"]["kernel"].reshape(d, d),
+                        a["query"]["bias"].reshape(d),
+                        a["key"]["kernel"].reshape(d, d),
+                        a["key"]["bias"].reshape(d),
+                        a["value"]["kernel"].reshape(d, d),
+                        a["value"]["bias"].reshape(d),
+                        a["out"]["kernel"].reshape(d, d),
+                        a["out"]["bias"],
+                        bp["ln1"]["scale"], bp["ln1"]["bias"],
+                        bp["ln2"]["scale"], bp["ln2"]["bias"],
+                        bp["mlp"]["fc1"]["kernel"], bp["mlp"]["fc1"]["bias"],
+                        bp["mlp"]["fc2"]["kernel"], bp["mlp"]["fc2"]["bias"])
+
+            cls_feats = fused_encoder_cls_stack(
+                x, [wts(i) for i in range(self.depth)],
+                heads=self.heads, eps=ln_eps,
+                quick_gelu=self.clip_variant, interpret=self.interpret)
+            out = nn.LayerNorm(epsilon=ln_eps, dtype=jnp.float32,
+                               name="ln_final")(cls_feats)
+            return out.astype(self.dtype)
         for i in range(self.depth):
             x = EncoderBlock(self.width, self.heads, dtype=self.dtype,
                              quick_gelu=self.clip_variant, ln_eps=ln_eps,
@@ -195,6 +230,28 @@ class ViT(nn.Module):
         x = nn.LayerNorm(epsilon=ln_eps, dtype=jnp.float32,
                          name="ln_final")(x)
         return x[:, 0, :].astype(self.dtype)                # CLS token
+
+    def _use_stream(self, x) -> bool:
+        """Stream-stack gate: the per-block kernel gate (EncoderBlock's
+        auto/pallas resolution) with the attention VMEM term checked at
+        the PADDED token count, plus the ``SRTPU_VIT_STREAM`` escape
+        hatch (default on; =0 restores the per-block kernels for A/B).
+        Never during init — the EncoderBlock loop creates the parameter
+        tree the converters and checkpoints expect."""
+        import os
+
+        if self.is_initializing() or self.block_impl == "flax":
+            return False
+        if os.environ.get("SRTPU_VIT_STREAM", "1") == "0":
+            return False
+        from situation_recognition_tpu.ops.vit_pallas import (
+            fused_block_supported)
+        b, n, _ = x.shape
+        n8 = -(-n // 8) * 8
+        ok = (self.dtype == jnp.bfloat16
+              and fused_block_supported(self.width, self.heads, n8, b)
+              and (self.interpret or jax.default_backend() == "tpu"))
+        return ok
 
 
 def vit_l14(dtype=jnp.float32) -> ViT:

@@ -300,6 +300,132 @@ def _fused_impl(x, wq, bq, wk, bk, wv, bv, wo, bo, g1, bb1, g2, bb2,
     return out[:m].reshape(b_, n_, d_)
 
 
+def _attn_core_stream_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int,
+                             scale: float, folded: bool, n_valid: int):
+    """Stream-domain attention core: blocks are 2-D ``(n8, d)`` slices of
+    the flattened padded token stream (one example per grid step, block
+    row offset ``i*n8`` — 8-row aligned by construction, so the BlockSpec
+    needs no relayout).  Only the first ``n_valid`` rows are real tokens;
+    pad rows are never read as keys/values (they would pollute softmax)
+    and are written as zeros (uninitialized VMEM otherwise)."""
+    q = q_ref[0:n_valid]
+    k = k_ref[0:n_valid]
+    v = v_ref[0:n_valid]
+    d = q.shape[-1]
+    dh = d // heads
+    n8 = o_ref.shape[0]
+    if folded:
+        q = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(jnp.bfloat16)
+    for h in range(heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        s = jax.lax.dot_general(q[:, sl], k[:, sl],
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        if folded:
+            mx = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp2(s - mx).astype(jnp.bfloat16)
+            den = jnp.sum(e, axis=-1, keepdims=True, dtype=jnp.float32)
+            ctx = jnp.dot(e, v[:, sl], preferred_element_type=jnp.float32)
+            o_ref[0:n_valid, sl] = (ctx * (1.0 / den)).astype(o_ref.dtype)
+        else:
+            p = jax.nn.softmax(s * scale, axis=-1).astype(jnp.bfloat16)
+            o_ref[0:n_valid, sl] = jnp.dot(
+                p, v[:, sl], preferred_element_type=jnp.float32
+            ).astype(o_ref.dtype)
+        if n_valid < n8:
+            o_ref[n_valid:, sl] = jnp.zeros((n8 - n_valid, dh), o_ref.dtype)
+
+
+def _fused_stack_impl(x, w_flat, *, heads: int, eps: float,
+                      quick_gelu: bool, interpret: bool,
+                      attn_folded: bool):
+    """All encoder blocks in ONE flattened, 8-row-aligned token domain,
+    returning the CLS rows (B, D) before the final LayerNorm.
+
+    Why: the per-block kernels hand 2-D ``(B*N, D)`` row streams to the
+    qkv/mlp kernels but 3-D ``(B, N, D)`` blocks to the attention core.
+    At N=257 the two tilings disagree — (B, 257, D) pads every example to
+    264 rows internally, so each ``reshape`` between them is a PHYSICAL
+    relayout: 2×1.76 ms per block, ~84 ms/step at the ViT-L/14 parity
+    shape (tools/profile_step.py r8; 459 GB/s pure copies).  Padding the
+    stream to n8 = ceil(N/8)*8 rows per example ONCE makes the 2-D and
+    3-D layouts byte-identical, so every block runs qkv → attention →
+    mlp in the same (B*n8, D) array with zero layout traffic; the
+    attention kernel slices its ``n_valid`` real rows in VMEM.  The pad
+    rows flow through the row-local kernels (finite garbage, re-zeroed
+    by every attention core) and are dropped by the final CLS gather.
+    """
+    b_, n_, d_ = x.shape
+    n8 = -(-n_ // 8) * 8
+    if n8 != n_:
+        # the ONE relayout the stream pays (the per-block path pays two
+        # per block); also the source of the pad rows
+        x = jnp.pad(x, ((0, 0), (0, n8 - n_), (0, 0)))
+    m = b_ * n8
+    bm = min(m, _BM)
+    pad = (-m) % bm
+    x2 = x.reshape(m, d_)                      # layout-free: n8 % 8 == 0
+    if pad:
+        x2 = jnp.pad(x2, ((0, pad), (0, 0)))
+    mp = x2.shape[0]
+    vlim = _vmem_limit()
+    rowspec = pl.BlockSpec((bm, d_), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    aspec = pl.BlockSpec((n8, d_), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    scale = 1.0 / math.sqrt(d_ // heads)
+
+    for blk in range(0, len(w_flat), 16):
+        (wq, bq, wk, bk, wv, bv, wo, bo, g1, bb1, g2, bb2,
+         w1, b1, w2, b2) = w_flat[blk:blk + 16]
+        qargs = [_f32row(g1), _f32row(bb1),
+                 wq.astype(jnp.bfloat16), _f32row(bq),
+                 wk.astype(jnp.bfloat16), _f32row(bk),
+                 wv.astype(jnp.bfloat16), _f32row(bv)]
+        q2, k2, v2 = pl.pallas_call(
+            functools.partial(_qkv_kernel, eps=eps),
+            grid=(mp // bm,),
+            in_specs=[rowspec, *[_wspec(a) for a in qargs]],
+            out_specs=[rowspec] * 3,
+            out_shape=[jax.ShapeDtypeStruct((mp, d_), x.dtype)] * 3,
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vlim),
+            interpret=interpret,
+        )(x2, *qargs)
+
+        ctx = pl.pallas_call(
+            functools.partial(_attn_core_stream_kernel, heads=heads,
+                              scale=scale, folded=attn_folded, n_valid=n_),
+            grid=(b_,),
+            in_specs=[aspec] * 3,
+            out_specs=aspec,
+            out_shape=jax.ShapeDtypeStruct((m, d_), x.dtype),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vlim),
+            interpret=interpret,
+        )(q2[:m], k2[:m], v2[:m])
+        if pad:
+            ctx = jnp.pad(ctx, ((0, pad), (0, 0)))
+
+        oargs = [wo.astype(jnp.bfloat16), _f32row(bo),
+                 _f32row(g2), _f32row(bb2),
+                 w1.astype(jnp.bfloat16), _f32row(b1),
+                 w2.astype(jnp.bfloat16), _f32row(b2)]
+        x2 = pl.pallas_call(
+            functools.partial(_out_mlp_kernel, eps=eps,
+                              quick_gelu=quick_gelu),
+            grid=(mp // bm,),
+            in_specs=[rowspec, rowspec, *[_wspec(a) for a in oargs]],
+            out_specs=rowspec,
+            out_shape=jax.ShapeDtypeStruct((mp, d_), x.dtype),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vlim),
+            interpret=interpret,
+        )(x2, ctx, *oargs)
+
+    # CLS rows sit at row i*n8 of the stream — a (B, D) strided gather,
+    # replacing the per-block unpad AND the all-token final LayerNorm
+    # input (LN is row-local, so ln_final(CLS rows) == ln_final(x)[:, 0])
+    return x2[:m].reshape(b_, n8, d_)[:, 0, :]
+
+
 # ------------------------------------------------- reference (jnp) math
 
 
@@ -330,6 +456,65 @@ def _reference_block(x, wq, bq, wk, bk, wv, bv, wo, bo, g1, bb1, g2, bb2,
 
 
 # ---------------------------------------------------------- public VJP
+
+
+def _reference_cls_stack(x, w_flat, *, heads: int, eps: float,
+                         quick_gelu: bool):
+    """The whole encoder stack in plain jnp (per-block
+    :func:`_reference_block`), returning pre-ln_final CLS rows — the
+    differentiation target and test oracle for the stream stack."""
+    for blk in range(0, len(w_flat), 16):
+        x = _reference_block(x, *w_flat[blk:blk + 16], heads=heads,
+                             eps=eps, quick_gelu=quick_gelu)
+    return x[:, 0, :]
+
+
+@functools.lru_cache(maxsize=None)
+def _make_fused_stack(heads: int, eps: float, quick_gelu: bool,
+                      interpret: bool, attn_folded: bool):
+    @jax.custom_vjp
+    def fused(x, *w_flat):
+        return _fused_stack_impl(x, w_flat, heads=heads, eps=eps,
+                                 quick_gelu=quick_gelu,
+                                 interpret=interpret,
+                                 attn_folded=attn_folded)
+
+    def fwd(x, *w_flat):
+        out, vjp = jax.vjp(
+            lambda x, *w: _reference_cls_stack(x, w, heads=heads, eps=eps,
+                                               quick_gelu=quick_gelu),
+            x, *w_flat)
+        return out, vjp
+
+    def bwd(vjp, ct):
+        return vjp(ct)
+
+    fused.defvjp(fwd, bwd)
+    return fused
+
+
+def fused_encoder_cls_stack(x, block_weights, *, heads: int, eps: float,
+                            quick_gelu: bool = False,
+                            interpret: bool = False,
+                            attn_core: str | None = None):
+    """The FULL encoder stack through the fused kernels in one flattened
+    8-row-aligned token domain, returning the pre-ln_final CLS features
+    ``(B, D)``.
+
+    ``block_weights``: sequence of per-block 16-tuples in
+    :func:`fused_encoder_block` argument order.  Motivation and layout
+    invariants in :func:`_fused_stack_impl`; chip numbers in PERF.md
+    ("r8: the stream stack").  Same VJP contract as the per-block entry:
+    differentiated calls run XLA AD over the jnp reference stack.
+    """
+    if attn_core is None:
+        attn_core = _attn_core_variant()
+    flat = tuple(a for blk in block_weights for a in blk)
+    if len(flat) % 16:
+        raise ValueError("block_weights must be 16-tuples "
+                         f"(got {len(flat)} arrays)")
+    return _make_fused_stack(heads, float(eps), bool(quick_gelu),
+                             bool(interpret), attn_core == "exp2")(x, *flat)
 
 
 def _attn_core_variant() -> str:

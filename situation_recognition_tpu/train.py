@@ -51,6 +51,49 @@ from situation_recognition_tpu.parallel.mesh import make_mesh
 from situation_recognition_tpu.utils.logging import StepTimer, format_dict
 
 
+class AsyncSaver:
+    """Background checkpoint writer: one in-flight write at a time, each
+    new save (or a join) waits for the previous to land.  The state
+    handed to ``save`` must be host-side and immutable-by-convention —
+    ``Trainer.model_state_dict`` returns fresh ``device_get`` copies and
+    the fit loop passes copied history lists, so the training loop never
+    mutates what the writer is serializing.  Write durability is the
+    same as the sync path (``save_checkpoint``: fsync + atomic rename)."""
+
+    def __init__(self):
+        self._thread = None
+        self._error = None
+
+    def save(self, path: str, state: dict, background: bool = True) -> None:
+        from situation_recognition_tpu.utils.checkpoint import save_checkpoint
+
+        self.join()
+        if not background:
+            save_checkpoint(path, state)
+            return
+        import threading
+
+        def run():
+            try:
+                save_checkpoint(path, state)
+            except BaseException as e:           # surfaced on next join
+                self._error = e
+
+        # non-daemon: a normal interpreter exit waits for the write
+        self._thread = threading.Thread(target=run, name="srtpu-ckpt-writer")
+        self._thread.start()
+
+    def join(self) -> None:
+        """Wait for the in-flight write; re-raise its failure (a silently
+        dropped checkpoint would masquerade as durable progress)."""
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._error is not None:
+            e, self._error = self._error, None
+            raise e
+
+
 class Preempted(Exception):
     """Raised out of the train loop after a preemption-triggered snapshot
     (``fit(handle_sigterm=True)``): the mid-epoch checkpoint is already on
@@ -782,7 +825,8 @@ class Trainer:
             save_every_steps: Optional[int] = None,
             handle_sigterm: bool = False,
             keep_best: bool = False,
-            metrics_jsonl: Optional[str] = None):
+            metrics_jsonl: Optional[str] = None,
+            async_save: bool = False):
         """Reference ``train`` (sr.py:15-162): epoch loop with identical
         stdout, per-epoch dev eval, curve plot, and overwrite checkpointing.
 
@@ -807,10 +851,16 @@ class Trainer:
 
         ``metrics_jsonl``: append one JSON line per epoch (losses, all
         eight metrics ×100 like the prints, val, throughput) — structured
-        observability; stdout stays reference-byte-compatible."""
-        import os
+        observability; stdout stays reference-byte-compatible.
 
-        from situation_recognition_tpu.utils.checkpoint import save_checkpoint
+        ``async_save``: write checkpoints on a background thread so the
+        serialize+fsync overlaps the next epoch's compute (flagship
+        checkpoints are ~0.7 GB; on a network filesystem the write is
+        seconds per epoch).  At most one write is in flight; every new
+        save — including mid-epoch/preemption snapshots — joins the
+        previous one first, and fit() joins before returning, so the
+        durability contract is unchanged."""
+        import os
 
         # multi-process DP: every process trains (identical replicated
         # updates) but only process 0 touches the filesystem — checkpoint
@@ -839,11 +889,16 @@ class Trainer:
             mid_state = checkpoint.get("mid")
 
         ckpt_path = os.path.join(folder, model_saving_name)
+        saver = AsyncSaver()
 
         def save_mid(mid):
-            save_checkpoint(ckpt_path, {
-                "epoch": self._current_epoch, **histories, "mid": mid,
-                **self.model_state_dict()})
+            # histories are COPIED so the writer thread never serializes
+            # lists the next epoch is appending to
+            saver.save(ckpt_path, {
+                "epoch": self._current_epoch,
+                **{k: list(v) for k, v in histories.items()},
+                "mid": mid, **self.model_state_dict()},
+                background=async_save)
 
         import sys
 
@@ -866,29 +921,33 @@ class Trainer:
                 train_loader, dev_loader, model_saving_name, folder,
                 histories, epoch, mid_state, plot, save, timer,
                 save_every_steps, save_mid, profile_dir, preempt,
-                keep_best, metrics_jsonl)
+                keep_best, metrics_jsonl, saver, async_save)
         except Preempted as p:
             # the snapshot is already on disk (train_epoch saved before
-            # raising); stderr so stdout stays reference-byte-compatible
+            # raising; the finally's join covers an async in-flight
+            # write); stderr so stdout stays reference-byte-compatible
             print(f'[srtpu] SIGTERM: saved resumable checkpoint at '
                   f'epoch {p.epoch} batch {p.batch_in_epoch}; exiting '
                   f'cleanly (relaunch with --resume_model to continue)',
                   file=sys.stderr)
         finally:
+            saver.join()
             if prev_handler is not None:
                 signal.signal(signal.SIGTERM, prev_handler)
 
     def _fit_epochs(self, train_loader, dev_loader, model_saving_name,
                     folder, histories, epoch, mid_state, plot, save, timer,
                     save_every_steps, save_mid, profile_dir, preempt,
-                    keep_best=False, metrics_jsonl=None):
+                    keep_best=False, metrics_jsonl=None, saver=None,
+                    async_save=False):
         import json
         import os
         import sys
         import time
 
-        from situation_recognition_tpu.utils.checkpoint import save_checkpoint
         from situation_recognition_tpu.utils.logging import jax_profile_trace
+
+        saver = saver or AsyncSaver()
 
         for e in range(epoch, self.config.epochs):
             if preempt.is_set():
@@ -955,17 +1014,19 @@ class Trainer:
                     folder, model_saving_name + ".png"))
 
             if save:
-                ckpt = {"epoch": e + 1, **histories,
+                ckpt = {"epoch": e + 1,
+                        **{k: list(v) for k, v in histories.items()},
                         **self.model_state_dict()}
-                save_checkpoint(os.path.join(folder, model_saving_name), ckpt)
+                saver.save(os.path.join(folder, model_saving_name), ckpt,
+                           background=async_save)
                 if keep_best and val_avg >= max(
                         histories["val_avg_scores"][:-1], default=-1.0):
                     # >= so the first epoch always seeds the best file;
                     # [:-1] includes any resumed history, so a restart
                     # never demotes an earlier better epoch
-                    save_checkpoint(
+                    saver.save(
                         os.path.join(folder, model_saving_name + "_best"),
-                        ckpt)
+                        ckpt, background=async_save)
 
     @staticmethod
     def _plot(histories, path):

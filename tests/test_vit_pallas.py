@@ -178,31 +178,54 @@ def test_vit_module_fused_trace_count(monkeypatch):
     import situation_recognition_tpu.ops.vit_pallas as vp
     from situation_recognition_tpu.models.vit import ViT
 
-    calls = []
-    orig = vp._fused_impl
+    block_calls, stack_calls = [], []
+    orig_block = vp._fused_impl
+    orig_stack = vp._fused_stack_impl
 
-    def counting(*a, **k):
-        calls.append(1)
-        return orig(*a, **k)
+    def counting_block(*a, **k):
+        block_calls.append(1)
+        return orig_block(*a, **k)
 
-    monkeypatch.setattr(vp, "_fused_impl", counting)
+    def counting_stack(*a, **k):
+        stack_calls.append(1)
+        return orig_stack(*a, **k)
+
+    monkeypatch.setattr(vp, "_fused_impl", counting_block)
+    monkeypatch.setattr(vp, "_fused_stack_impl", counting_stack)
+    vp._make_fused_stack.cache_clear()  # rebind the patched primal
     # 16x16 images, patch 4 -> 17 tokens; B=64 -> 1088 rows >= _MIN_ROWS
     model = ViT(patch=4, width=D, depth=2, heads=HEADS,
                 dtype=jnp.bfloat16, block_impl="pallas", interpret=True)
     x = jnp.asarray(np.random.default_rng(5).standard_normal(
         (64, 16, 16, 3)), dtype=jnp.float32)
     v = model.init(jax.random.PRNGKey(0), x)
-    calls.clear()
-    model.apply(v, x)
-    assert len(calls) == 2, (
-        f"{len(calls)} fused-block primals traced; expected 2 (depth)")
 
-    calls.clear()
+    # default path: ONE stream-stack primal covers all blocks
+    monkeypatch.setenv("SRTPU_VIT_STREAM", "1")
+    block_calls.clear(); stack_calls.clear()
+    model.apply(v, x)
+    assert (len(stack_calls), len(block_calls)) == (1, 0), (
+        f"stream path traced {len(stack_calls)} stack / "
+        f"{len(block_calls)} per-block primals; expected (1, 0)")
+
+    stack_calls.clear()
     jax.grad(lambda xx: jnp.sum(model.apply(v, xx).astype(jnp.float32)))(x)
-    assert len(calls) == 0, (
-        f"{len(calls)} fused-block primals traced under jax.grad; the "
+    assert len(stack_calls) == 0, (
+        f"{len(stack_calls)} stack primals traced under jax.grad; the "
         "custom_vjp fwd rule must route every differentiated call to the "
         "reference math")
+
+    # per-block escape hatch: depth primals, no stack
+    monkeypatch.setenv("SRTPU_VIT_STREAM", "0")
+    block_calls.clear(); stack_calls.clear()
+    model.apply(v, x)
+    assert (len(stack_calls), len(block_calls)) == (0, 2), (
+        f"per-block path traced {len(stack_calls)} stack / "
+        f"{len(block_calls)} per-block primals; expected (0, 2)")
+
+    block_calls.clear()
+    jax.grad(lambda xx: jnp.sum(model.apply(v, xx).astype(jnp.float32)))(x)
+    assert len(block_calls) == 0
 
 
 @pytest.mark.slow
@@ -232,13 +255,16 @@ def test_vit_fused_engages_in_trainer_steps(monkeypatch, encoder):
     monkeypatch.setitem(VIT_WIDTHS, "vit_tiny", D)
 
     calls = []
-    orig = vp._fused_impl
+    orig = vp._fused_stack_impl
 
     def counting(*a, **k):
         calls.append(1)
         return orig(*a, **k)
 
-    monkeypatch.setattr(vp, "_fused_impl", counting)
+    # the ViT stream stack is the default TPU path (one primal covers
+    # every block); count ITS engagement in the jitted steps
+    monkeypatch.setenv("SRTPU_VIT_STREAM", "1")
+    monkeypatch.setattr(vp, "_fused_stack_impl", counting)
     cfg = TrainerConfig(hidden=D, batch_size=24, backbone="vit_tiny",
                         compute_dtype=jnp.bfloat16, ggnn_impl="masked",
                         seed=7)
@@ -261,18 +287,17 @@ def test_vit_fused_engages_in_trainer_steps(monkeypatch, encoder):
                          tr.backbone_stats, jax.random.PRNGKey(0),
                          arrays["images"], arrays["flip"], arrays["verbs"],
                          arrays["labels"], valid)
-    assert len(calls) == DEPTH, (
-        f"{len(calls)} fused-block primals traced in the train step; "
-        f"expected {DEPTH} (one per encoder block, backbone hoisted "
-        "outside the grad closure)")
+    assert len(calls) == 1, (
+        f"{len(calls)} stream-stack primals traced in the train step; "
+        "expected 1 (backbone hoisted outside the grad closure)")
 
     calls.clear()
     tr._eval_step.lower(tr.head_params, tr.backbone_params,
                         tr.backbone_stats, arrays["images"],
                         arrays["verbs"], arrays["labels"], valid)
-    assert len(calls) == DEPTH, (
-        f"{len(calls)} fused-block primals traced in the eval step; "
-        f"expected {DEPTH}")
+    assert len(calls) == 1, (
+        f"{len(calls)} stream-stack primals traced in the eval step; "
+        "expected 1")
 
 
 def test_encoder_block_auto_is_flax_on_cpu():
@@ -302,3 +327,103 @@ def test_forced_pallas_raises_when_unsupported():
     v = blk.init(jax.random.PRNGKey(0), x)     # init always runs flax: OK
     with pytest.raises(ValueError, match="forced"):
         blk.apply(v, x)
+
+
+# --------------------------------------------------- stream stack (r8)
+
+
+@pytest.mark.slow
+def test_stream_stack_matches_reference_interpret():
+    """The stream stack (all blocks in one flattened 8-row-aligned token
+    domain, ops/vit_pallas.py::_fused_stack_impl) must match the jnp
+    reference stack's CLS rows at the bf16-class bound — including the
+    pad-row machinery (N=129 -> n8=136 exercises 7 pad rows/example
+    plus the end-of-stream bm padding)."""
+    from situation_recognition_tpu.ops.vit_pallas import (
+        _reference_cls_stack, fused_encoder_cls_stack)
+
+    p1, x = _params_and_x(seed=5)
+    p2, _ = _params_and_x(seed=6)
+    w = [_args(p1), _args(p2)]
+    flat = tuple(a for blk in w for a in blk)
+    want = _reference_cls_stack(x, flat, heads=HEADS, eps=1e-6,
+                                quick_gelu=False)
+    for core in ("softmax", "exp2"):
+        got = fused_encoder_cls_stack(x, w, heads=HEADS, eps=1e-6,
+                                      quick_gelu=False, interpret=True,
+                                      attn_core=core)
+        assert got.shape == (B, D)
+        diff = np.max(np.abs(np.asarray(got, np.float32)
+                             - np.asarray(want, np.float32)))
+        scale = np.max(np.abs(np.asarray(want, np.float32)))
+        assert diff <= 0.03 * max(scale, 1.0), (core, diff, scale)
+
+
+@pytest.mark.slow
+def test_stream_stack_grad_routes_to_reference():
+    """Differentiating the stream stack runs XLA AD over the jnp
+    reference stack (same custom-VJP contract as the per-block entry)."""
+    from situation_recognition_tpu.ops.vit_pallas import (
+        _reference_cls_stack, fused_encoder_cls_stack)
+
+    p1, x = _params_and_x(seed=7)
+    w = [_args(p1)]
+    flat = w[0]
+
+    def loss_fused(x, wq):
+        blk = (wq,) + w[0][1:]
+        return jnp.sum(fused_encoder_cls_stack(
+            x, [blk], heads=HEADS, eps=1e-6, interpret=False
+        ).astype(jnp.float32))
+
+    def loss_ref(x, wq):
+        blk = (wq,) + flat[1:]
+        return jnp.sum(_reference_cls_stack(
+            x, blk, heads=HEADS, eps=1e-6, quick_gelu=False
+        ).astype(jnp.float32))
+
+    gx_f, gw_f = jax.grad(loss_fused, argnums=(0, 1))(x, p1["wq"])
+    gx_r, gw_r = jax.grad(loss_ref, argnums=(0, 1))(x, p1["wq"])
+    np.testing.assert_array_equal(np.asarray(gx_f, np.float32),
+                                  np.asarray(gx_r, np.float32))
+    np.testing.assert_array_equal(np.asarray(gw_f, np.float32),
+                                  np.asarray(gw_r, np.float32))
+
+
+@pytest.mark.slow
+def test_vit_module_stream_path_interpret(monkeypatch):
+    """ViT with the stream gate open must produce the flax composition's
+    features (bf16-class) — the module-level wiring (weight gathering,
+    CLS-rows-then-ln_final reordering) is what this pins, and the
+    pallas-call count must be 3 per block (qkv, attention, mlp)."""
+    from situation_recognition_tpu.models.vit import ViT
+
+    monkeypatch.setenv("SRTPU_VIT_STREAM", "1")
+    rng = np.random.default_rng(3)
+    # patch 4 on 16x16 -> 17 tokens (n8=24, 7 pad rows); B=64 -> 1088 rows
+    img = jnp.asarray(rng.standard_normal((64, 16, 16, 3)), jnp.bfloat16)
+    model = ViT(patch=4, width=D, depth=2, heads=HEADS,
+                dtype=jnp.bfloat16, block_impl="pallas", interpret=True)
+    vars_ = model.init(jax.random.PRNGKey(0),
+                       np.zeros((1, 16, 16, 3), np.float32))
+    fused = model.apply(vars_, img)
+
+    flax_model = ViT(patch=4, width=D, depth=2, heads=HEADS,
+                     dtype=jnp.bfloat16, block_impl="flax")
+    want = flax_model.apply(vars_, img)
+    diff = np.max(np.abs(np.asarray(fused, np.float32)
+                         - np.asarray(want, np.float32)))
+    scale = np.max(np.abs(np.asarray(want, np.float32)))
+    assert diff <= 0.05 * max(scale, 1.0), (diff, scale)
+
+    jaxpr = str(jax.make_jaxpr(lambda v, im: model.apply(v, im))(vars_, img))
+    assert jaxpr.count("pallas_call") == 6  # 3 kernels x 2 blocks
+
+    # escape hatch: SRTPU_VIT_STREAM=0 restores the per-block path
+    # (same kernels, same count — the A/B knob must change the PATH,
+    # asserted via the stream impl's distinctive CLS gather shape)
+    monkeypatch.setenv("SRTPU_VIT_STREAM", "0")
+    per_block = model.apply(vars_, img)
+    diff2 = np.max(np.abs(np.asarray(per_block, np.float32)
+                          - np.asarray(want, np.float32)))
+    assert diff2 <= 0.05 * max(scale, 1.0), diff2
