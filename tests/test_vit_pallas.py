@@ -427,3 +427,23 @@ def test_vit_module_stream_path_interpret(monkeypatch):
     diff2 = np.max(np.abs(np.asarray(per_block, np.float32)
                           - np.asarray(want, np.float32)))
     assert diff2 <= 0.05 * max(scale, 1.0), diff2
+
+
+@pytest.mark.slow
+def test_stream_stack_quick_gelu_interpret():
+    """CLIP-variant stream (QuickGELU, eps=1e-5) matches the reference
+    stack — the vit_l14_clip backbone takes the stream path too."""
+    from situation_recognition_tpu.ops.vit_pallas import (
+        _reference_cls_stack, fused_encoder_cls_stack)
+
+    p1, x = _params_and_x(seed=9)
+    w = [_args(p1)]
+    flat = w[0]
+    want = _reference_cls_stack(x, flat, heads=HEADS, eps=1e-5,
+                                quick_gelu=True)
+    got = fused_encoder_cls_stack(x, w, heads=HEADS, eps=1e-5,
+                                  quick_gelu=True, interpret=True)
+    diff = np.max(np.abs(np.asarray(got, np.float32)
+                         - np.asarray(want, np.float32)))
+    scale = np.max(np.abs(np.asarray(want, np.float32)))
+    assert diff <= 0.03 * max(scale, 1.0), (diff, scale)
