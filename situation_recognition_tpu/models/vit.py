@@ -240,6 +240,12 @@ class ViT(nn.Module):
         tree the converters and checkpoints expect."""
         import os
 
+        if self.block_impl not in ("auto", "pallas", "flax"):
+            # same loud rejection as EncoderBlock._use_pallas — a typo'd
+            # value must not silently select the kernel path
+            raise ValueError(
+                f"block_impl must be auto|pallas|flax, got "
+                f"{self.block_impl!r}")
         if self.is_initializing() or self.block_impl == "flax":
             return False
         if os.environ.get("SRTPU_VIT_STREAM", "1") == "0":

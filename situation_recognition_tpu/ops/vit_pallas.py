@@ -392,18 +392,25 @@ def _fused_stack_impl(x, w_flat, *, heads: int, eps: float,
             interpret=interpret,
         )(x2, *qargs)
 
+        # the attention out_shape is the FULL (mp, d) row domain even
+        # though the (b_,) grid only writes the first b_*n8 rows: a
+        # (m, d) output would need a jnp.pad back to mp for out_mlp —
+        # a whole-stream copy per block whenever bm does not divide m
+        # (the relayout class this stack exists to delete).  The
+        # untouched tail rows are end-of-stream padding (uninitialized
+        # on TPU — possibly NaN/Inf bit patterns): row-local kernels
+        # keep any garbage confined to those same tail rows, attention
+        # never reads past row b_*n8, and the CLS gather drops them.
         ctx = pl.pallas_call(
             functools.partial(_attn_core_stream_kernel, heads=heads,
                               scale=scale, folded=attn_folded, n_valid=n_),
             grid=(b_,),
             in_specs=[aspec] * 3,
             out_specs=aspec,
-            out_shape=jax.ShapeDtypeStruct((m, d_), x.dtype),
+            out_shape=jax.ShapeDtypeStruct((mp, d_), x.dtype),
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vlim),
             interpret=interpret,
-        )(q2[:m], k2[:m], v2[:m])
-        if pad:
-            ctx = jnp.pad(ctx, ((0, pad), (0, 0)))
+        )(q2, k2, v2)
 
         oargs = [wo.astype(jnp.bfloat16), _f32row(bo),
                  _f32row(g2), _f32row(bb2),

@@ -95,16 +95,42 @@ class AsyncSaver:
 
 
 class Preempted(Exception):
-    """Raised out of the train loop after a preemption-triggered snapshot
-    (``fit(handle_sigterm=True)``): the mid-epoch checkpoint is already on
-    disk and the process should exit cleanly so the scheduler's relaunch
-    resumes from the exact batch (``--resume_model``)."""
+    """Raised out of the train loop on a preemption stop
+    (``fit(handle_sigterm=True)``).  ``saved`` records whether THIS
+    process wrote a resumable snapshot before raising (rank 0 in
+    multi-process worlds; non-zero ranks and stops that land before any
+    snapshot raise with ``saved=False``) so the exit message never
+    claims a checkpoint that does not exist."""
 
-    def __init__(self, epoch: int, batch_in_epoch: int):
+    def __init__(self, epoch: int, batch_in_epoch: int,
+                 saved: bool = False):
         super().__init__(f"preempted at epoch {epoch}, "
                          f"batch {batch_in_epoch}")
         self.epoch = epoch
         self.batch_in_epoch = batch_in_epoch
+        self.saved = saved
+
+
+def _preempt_agreed(preempt) -> bool:
+    """Whether to stop at this optimizer-step boundary.
+
+    Single-process: the local flag.  Multi-process DP: the MAX of every
+    process's flag, agreed via a tiny all-gather — without agreement,
+    ranks whose SIGTERM lands a moment apart stop at different step
+    boundaries and the next step's gradient all-reduce deadlocks (the
+    late rank waits forever on the stopped one).  Every process calls
+    this at every boundary, so the collective is symmetric; its cost is
+    one scalar gather per step, negligible next to the per-step top-k
+    all-gather the multi-process scorer already does."""
+    if preempt is None:
+        return False
+    flag = preempt.is_set()
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return bool(np.asarray(multihost_utils.process_allgather(
+            np.asarray(flag))).any())
+    return flag
 
 
 @dataclasses.dataclass
@@ -766,12 +792,16 @@ class Trainer:
                 # boundaries — a mid-group snapshot would silently drop
                 # the accumulated gradients on resume
                 save_callback(_mid())
-            if preempt is not None and preempt.is_set() and micros == 0:
+            if (preempt is not None and micros == 0
+                    and _preempt_agreed(preempt)):
                 # same boundary rule as above; mid-group, keep running
-                # until the group's optimizer step lands
+                # until the group's optimizer step lands.  The agreement
+                # collective runs every boundary (all ranks, symmetric)
+                # so multi-process ranks stop at the SAME step.
                 if save_callback:
                     save_callback(_mid())
-                raise Preempted(epoch, batch_idx)
+                raise Preempted(epoch, batch_idx,
+                                saved=save_callback is not None)
         # epoch ended mid-group: step on what accumulated (the tail
         # microbatches must not be silently discarded)
         _apply_pending()
@@ -902,8 +932,6 @@ class Trainer:
 
         import sys
 
-        from situation_recognition_tpu.utils.logging import jax_profile_trace
-
         profile_dir = os.environ.get("SRTPU_PROFILE_DIR")
         if timer is None:
             timer = StepTimer()
@@ -923,13 +951,22 @@ class Trainer:
                 save_every_steps, save_mid, profile_dir, preempt,
                 keep_best, metrics_jsonl, saver, async_save)
         except Preempted as p:
-            # the snapshot is already on disk (train_epoch saved before
-            # raising; the finally's join covers an async in-flight
-            # write); stderr so stdout stays reference-byte-compatible
-            print(f'[srtpu] SIGTERM: saved resumable checkpoint at '
-                  f'epoch {p.epoch} batch {p.batch_in_epoch}; exiting '
-                  f'cleanly (relaunch with --resume_model to continue)',
-                  file=sys.stderr)
+            # stderr so stdout stays reference-byte-compatible.  Only
+            # claim a snapshot when THIS process actually wrote one
+            # (train_epoch saved before raising; the finally's join
+            # covers an async in-flight write) — non-zero ranks and
+            # before-first-snapshot stops must not report a checkpoint
+            # that does not exist
+            if p.saved:
+                print(f'[srtpu] SIGTERM: saved resumable checkpoint at '
+                      f'epoch {p.epoch} batch {p.batch_in_epoch}; exiting '
+                      f'cleanly (relaunch with --resume_model to continue)',
+                      file=sys.stderr)
+            else:
+                print(f'[srtpu] SIGTERM: exiting cleanly at epoch '
+                      f'{p.epoch} (no new snapshot on this process; '
+                      f'resume from the last saved checkpoint, if any)',
+                      file=sys.stderr)
         finally:
             saver.join()
             if prev_handler is not None:
@@ -950,9 +987,11 @@ class Trainer:
         saver = saver or AsyncSaver()
 
         for e in range(epoch, self.config.epochs):
-            if preempt.is_set():
+            if _preempt_agreed(preempt):
                 # flagged outside the batch loop (during eval / between
-                # epochs): the end-of-epoch checkpoint is already written
+                # epochs).  saved=False: nothing NEW was written here —
+                # the end-of-epoch checkpoint (if any epoch completed)
+                # is the resume point
                 raise Preempted(e, 0)
             print('Epoch-{}, lr: {:.4f}'.format(e, self.config.lr))
             timer.reset()

@@ -274,7 +274,12 @@ def test_sigterm_preemption_exits_clean_and_resumes(workdir):
             p.kill()
             p.communicate()
     assert p.returncode == 0, (p.returncode, err[-3000:])
-    assert "[srtpu] SIGTERM: saved resumable checkpoint" in err, err[-3000:]
+    # two honest notices depending on where the signal lands: mid-epoch
+    # stops write a fresh boundary snapshot ("saved resumable checkpoint");
+    # between-epochs stops point at the end-of-epoch save already on disk
+    # ("no new snapshot").  Either way the checkpoint below must resume.
+    assert ("[srtpu] SIGTERM: saved resumable checkpoint" in err
+            or "[srtpu] SIGTERM: exiting cleanly" in err), err[-3000:]
 
     from situation_recognition_tpu.utils.checkpoint import load_checkpoint
 

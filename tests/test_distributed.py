@@ -200,3 +200,103 @@ def test_two_process_world_matches_single_process(
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(dist["val_avg"], base["val_avg"],
                                rtol=1e-5, atol=1e-6)
+
+
+_PREEMPT_WORKER = r"""
+import json, os, sys, threading
+rank, world, img_dir, ann_path, out_path, coord = (
+    int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4],
+    sys.argv[5], sys.argv[6])
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+sys.path.insert(0, "__REPO__")
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+from situation_recognition_tpu.parallel.distributed import (
+    init_distributed, make_distributed_mesh)
+init_distributed(coordinator_address=coord, num_processes=world,
+                 process_id=rank)
+
+import numpy as np, jax.numpy as jnp
+from situation_recognition_tpu.data.encoder import ImsituEncoder
+from situation_recognition_tpu.data.dataset import ImsituDataset, ImsituLoader
+from situation_recognition_tpu.train import Trainer, TrainerConfig, Preempted
+
+ann = json.load(open(ann_path))
+enc = ImsituEncoder(ann)
+ds = ImsituDataset(img_dir, ann, enc, train=True)
+# 25 examples, batch 8 (divisible by the 8-device world) -> 4 global
+# batches: the stop must land at a step boundary BEFORE the epoch ends,
+# on both ranks
+loader = ImsituLoader(ds, batch_size=8, shuffle=True, seed=5,
+                      num_workers=1, decoder="python",
+                      shard=(rank, world))
+cfg = TrainerConfig(hidden=64, batch_size=8, backbone="mini",
+                    compute_dtype=jnp.float32, seed=0)
+trainer = Trainer(enc, cfg, mesh=make_distributed_mesh())
+
+ev = threading.Event()
+if rank == 1:
+    ev.set()  # "SIGTERM" delivered to rank 1 ONLY
+mids = []
+result = {"raised": False}
+try:
+    trainer.train_epoch(
+        loader, epoch=0,
+        save_callback=(mids.append if rank == 0 else None),
+        preempt=ev)
+except Preempted as p:
+    result = {"raised": True, "batch": p.batch_in_epoch, "saved": p.saved}
+result["n_mids"] = len(mids)
+with open(out_path + ".r%d" % rank, "w") as f:
+    json.dump(result, f)
+"""
+
+
+@pytest.mark.slow
+def test_preempt_agreement_across_processes(
+        encoder, overfitting_json, img_dir, tmp_path):
+    """SIGTERM lands on ONE rank of a 2-process world: `_preempt_agreed`'s
+    per-boundary all-gather must stop BOTH ranks at the SAME optimizer-step
+    boundary (without it, the un-signalled rank deadlocks in the next
+    step's gradient all-reduce).  Rank 0 (with a save_callback) reports
+    saved=True and exactly one snapshot; rank 1 reports saved=False."""
+    # 5 fixture annotations x 5 name copies = 25 examples -> 4 global
+    # batches of 8: enough steps that the stop is genuinely mid-epoch
+    big = {f"c{i}_{name}": overfitting_json[name]
+           for i in range(5) for name in overfitting_json}
+    from PIL import Image
+    rng = np.random.default_rng(11)
+    big_dir = tmp_path / "imgs"
+    big_dir.mkdir()
+    for name in big:
+        arr = rng.integers(0, 255, (256, 256, 3), dtype=np.uint8)
+        Image.fromarray(arr, "RGB").save(str(big_dir / name))
+    img_dir = str(big_dir)
+    ann_path = str(tmp_path / "ann.json")
+    with open(ann_path, "w") as f:
+        json.dump(big, f)
+    script = tmp_path / "worker.py"
+    script.write_text(_PREEMPT_WORKER.replace("__REPO__", REPO))
+    out_path = str(tmp_path / "result.json")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    coord = "127.0.0.1:19893"
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), str(r), "2", img_dir, ann_path,
+         out_path, coord],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True) for r in range(2)]
+    # the timeout IS the deadlock assertion: an unagreed stop hangs rank 0
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for r, (p, o) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {r} failed:\n{o[-4000:]}"
+    res = []
+    for r in range(2):
+        with open(out_path + ".r%d" % r) as f:
+            res.append(json.load(f))
+    assert res[0]["raised"] and res[1]["raised"]
+    # same boundary on both ranks — the whole point of the agreement
+    assert res[0]["batch"] == res[1]["batch"] == 1
+    assert res[0]["saved"] is True and res[0]["n_mids"] == 1
+    assert res[1]["saved"] is False and res[1]["n_mids"] == 0

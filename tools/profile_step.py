@@ -180,10 +180,16 @@ def main():
         Trainer, TrainerConfig, default_hidden)
 
     on_tpu = jax.default_backend() == "tpu"
-    batch = int(os.environ.get("BENCH_BATCH", 768 if on_tpu else 8))
-    backbone = os.environ.get("BENCH_BACKBONE",
-                              "resnet152" if on_tpu else "mini")
+    # share bench.py's env-knob parsing/defaults (and its validation —
+    # a typo'd BENCH_FROZEN_BN would otherwise silently profile the
+    # train-BN path, misattributing the numbers)
+    from bench import bench_batch_backbone
+
+    batch, backbone = bench_batch_backbone(on_tpu)
     frozen_bn = os.environ.get("BENCH_FROZEN_BN", "train")
+    if frozen_bn not in ("train", "eval"):
+        raise SystemExit(
+            f"BENCH_FROZEN_BN must be train|eval, got {frozen_bn!r}")
     encoder = ImsituEncoder.synthetic_full()
     mesh = make_mesh(num_devices=len(jax.devices()))
     cfg = TrainerConfig(
@@ -270,8 +276,11 @@ def main():
           f"{len(rows)} distinct ops")
     if roofline:
         tot_floor = sum(r.get("floor_ms", 0.0) for r in rows)
+        ratio = (f"(step runs {dev_ms / tot_floor:.2f}x its floor) "
+                 if tot_floor > 0 else
+                 "(no per-op flops/bytes metadata in this trace) ")
         print(f"# per-op roofline floor {tot_floor:.2f} ms/step "
-              f"(step runs {dev_ms / tot_floor:.2f}x its floor) at peaks "
+              f"{ratio}at peaks "
               f"{peak_tf:.0f} TFLOP/s / {peak_gb:.0f} GB/s")
     print()
     hdr = f"{'ms/step':>9}  {'%dev':>5}  {'calls':>5}"
