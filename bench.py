@@ -19,7 +19,9 @@ generous estimate used here (BASELINE target: >= 8x this).
 
 Env knobs: BENCH_MODE=train|eval|serving, BENCH_BATCH (default 768/chip),
 BENCH_BACKBONE (resnet152|vit_l14|vit_b16|...), BENCH_STEPS,
-BENCH_FROZEN_BN=train|eval; serving mode adds BENCH_WEIGHTS=f32|bf16|int8,
+BENCH_IMAGE_SIZE (input resolution, default 224; e.g. 336 for the CLIP
+ViT-L/14@336 grid), BENCH_FROZEN_BN=train|eval; serving mode adds
+BENCH_WEIGHTS=f32|bf16|int8,
 BENCH_BAKE=0 (weights-external artifact), BENCH_TARGET=tpu (keep the
 fused Pallas kernels in the exported program).
 """
@@ -107,6 +109,9 @@ def main():
     if frozen_bn not in ("train", "eval"):
         raise SystemExit(
             f"BENCH_FROZEN_BN must be train|eval, got {frozen_bn!r}")
+    # BENCH_IMAGE_SIZE: model input resolution (default 224, the parity
+    # size; e.g. 336 measures the CLIP ViT-L/14@336 grid)
+    image_size = int(os.environ.get("BENCH_IMAGE_SIZE", "224"))
 
     # full-size synthetic vocab: 504 verbs / 190 roles / 2001 labels / R=6
     # (the tiny fixture would understate the classifier + GGNN width)
@@ -122,6 +127,7 @@ def main():
         backbone=backbone,
         compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
         frozen_backbone_bn=frozen_bn,
+        image_size=image_size,
     )
     trainer = Trainer(encoder, cfg, mesh=mesh)
 

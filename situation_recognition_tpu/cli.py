@@ -75,6 +75,13 @@ def build_parser() -> ArgumentParser:
     parser.add_argument('--precision', type=str, default='auto',
                         choices=['auto', 'bf16', 'fp32'],
                         help='Compute dtype (auto: bf16 on TPU, fp32 on CPU)')
+    parser.add_argument('--image_size', type=int, default=224,
+                        help='Model input resolution (default 224, the '
+                             'reference\'s Resize(224)+Crop(224); e.g. 336 '
+                             'for the CLIP ViT-L/14@336 grid — the device '
+                             'resize serves any size from the same 256 '
+                             'host windows, and the converters interpolate '
+                             'pretrained ViT pos-embeds to match)')
     parser.add_argument('--model_axis', type=int, default=1,
                         help='Mesh model-axis size (classifier TP)')
     parser.add_argument('--backbone_ckpt', type=str, default='',
@@ -191,14 +198,31 @@ def _load_backbone(trainer, path: str) -> None:
     else:
         sd = torch_convert.load_torch_file(path)
         heads = getattr(trainer.backbone, 'heads', 0)
+        size = trainer.config.image_size                   # pos-embed grid
         if 'conv_proj.weight' in sd:                       # torchvision ViT
-            params, stats = torch_convert.convert_vit(sd, heads), {}
+            params, stats = torch_convert.convert_vit(
+                sd, heads, image_size=size), {}
         elif any(k.endswith('ln_pre.weight') for k in sd):  # CLIP visual
-            params, stats = torch_convert.convert_clip_vit(sd, heads), {}
+            params, stats = torch_convert.convert_clip_vit(
+                sd, heads, image_size=size), {}
         else:
             prefix = 'convnet_nouns.model.' if any(
                 k.startswith('convnet_nouns.') for k in sd) else ''
             params, stats = torch_convert.convert_resnet(sd, prefix=prefix)
+    if 'pos_embed' in params:
+        import numpy as np
+        want = np.shape(trainer.backbone_params['pos_embed'])
+        got = np.shape(params['pos_embed'])
+        if tuple(want) != tuple(got):
+            # from_state_dict replaces leaves without shape checks; a
+            # 224-grid cache under a different --image_size would only
+            # explode later as a baffling broadcast error inside the step
+            raise ValueError(
+                f'backbone pos_embed grid {got} does not match '
+                f'--image_size {trainer.config.image_size} (expects '
+                f'{want}). A cached backbone.msgpack converted at another '
+                f'--image_size cannot be reused — delete it (the .pth '
+                f'auto-converts per size) or pass the matching size.')
     trainer.backbone_params = serialization.from_state_dict(
         trainer.backbone_params, params)
     if stats:
@@ -298,6 +322,12 @@ def main(argv=None) -> None:
         parser.error('--preproc exact needs original pixels; --packed_dir '
                      'stores short-side-normalized images (double-resample '
                      'breaks reference-exact parity)')
+    if args.preproc == 'exact' and args.image_size != 224:
+        # exact mode IS the reference's literal 224 pipeline; any other
+        # size has no reference transform to be exact against
+        parser.error('--preproc exact is the reference\'s literal '
+                     'Resize(224)+CenterCrop(224) pipeline; it cannot '
+                     f'combine with --image_size {args.image_size}')
 
     # seed the stdlib RNG too (--subset samples via random.randrange like
     # the reference, sr.py:294-295; seeding makes the mode reproducible
@@ -482,6 +512,7 @@ def main(argv=None) -> None:
     cfg = TrainerConfig(
         hidden=hidden, lr=args.lr, batch_size=batch, epochs=args.epochs,
         backbone=args.backbone, compute_dtype=dtype, seed=args.seed,
+        image_size=args.image_size,
         model_axis=args.model_axis, ggnn_impl=args.ggnn,
         frozen_backbone_bn=args.frozen_bn, grad_accum=accum)
     mesh = None
@@ -501,14 +532,19 @@ def main(argv=None) -> None:
         # checkpoint at <saving_folder>/backbone.{msgpack,pth,pt} — a raw
         # torchvision resnet152 .pth is auto-converted on first load and
         # cached as backbone.msgpack so later runs skip the conversion.
+        # converted caches are per-resolution (the ViT pos-embed grid is
+        # baked in at conversion); 224 keeps the historical unsuffixed name
+        cache_name = ('backbone.msgpack' if args.image_size == 224
+                      else f'backbone_{args.image_size}.msgpack')
         default_bb = next(
-            (p for p in (pjoin(args.saving_folder, 'backbone' + ext)
-                         for ext in ('.msgpack', '.pth', '.pt'))
+            (p for p in ([pjoin(args.saving_folder, cache_name)]
+                         + [pjoin(args.saving_folder, 'backbone' + ext)
+                            for ext in ('.pth', '.pt')])
              if pisfile(p)), None)
         if default_bb is not None:
             _load_backbone(trainer, default_bb)
             if not default_bb.endswith('.msgpack') and is_main:
-                cache = pjoin(args.saving_folder, 'backbone.msgpack')
+                cache = pjoin(args.saving_folder, cache_name)
                 _save_backbone_msgpack(trainer, cache)
                 print(f'[srtpu] converted {default_bb} -> {cache} '
                       '(picked up automatically next run)', file=sys.stderr)

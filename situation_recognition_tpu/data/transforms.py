@@ -181,18 +181,25 @@ def _resize_matrix(src: int, dst: int) -> np.ndarray:
 
 def device_transform(images_u8: jax.Array,
                      flip: jax.Array | None = None,
-                     dtype=jnp.float32) -> jax.Array:
-    """Batched (B, 256, 256, 3) uint8 → (B, 224, 224, 3) normalized.
+                     dtype=jnp.float32, crop: int = CROP) -> jax.Array:
+    """Batched (B, 256, 256, 3) uint8 → (B, crop, crop, 3) normalized.
 
     ``flip``: optional (B,) bool — horizontal flip per example (train only).
+    ``crop``: the model input size (default 224, the reference's;
+    ``TrainerConfig.image_size`` threads other resolutions — e.g. 336 for
+    the CLIP ViT-L/14@336 grid — through the same two-matmul resize: the
+    triangle-kernel matrix upsamples exactly like
+    ``jax.image.resize('linear', antialias=True)``, which for scale ≥ 1
+    is plain bilinear).
     Runs inside jit: two separable-resize matmuls (MXU) with f32
     accumulation, normalize fused on the accumulator, flip as a cheap
-    reorder of the final (B, 224, 224, 3) tensor.  In bf16 the intermediate
-    row-pass rounds once (uint8 values are exact in bf16); worst case ~1
-    uint8 LSB, far inside the documented PIL resample-order tolerance.
+    reorder of the final (B, crop, crop, 3) tensor.  In bf16 the
+    intermediate row-pass rounds once (uint8 values are exact in bf16);
+    worst case ~1 uint8 LSB, far inside the documented PIL resample-order
+    tolerance.
     """
     h, w = images_u8.shape[1], images_u8.shape[2]
-    if h == CROP and w == CROP:
+    if h == crop and w == crop:
         # exact-preproc batches arrive pre-resized: the 224→224 triangle
         # matrix is exactly I, so the two einsums below would burn
         # ~100 GFLOP/batch (B=768) multiplying by a dense identity XLA
@@ -204,8 +211,8 @@ def device_transform(images_u8: jax.Array,
         z = (z * (1.0 / 255.0) - IMAGENET_MEAN) / IMAGENET_STD
         return z.astype(dtype)
     mdtype = dtype if dtype == jnp.bfloat16 else jnp.float32
-    mh = jnp.asarray(_resize_matrix(h, CROP), dtype=mdtype)
-    mw = mh if w == h else jnp.asarray(_resize_matrix(w, CROP), dtype=mdtype)
+    mh = jnp.asarray(_resize_matrix(h, crop), dtype=mdtype)
+    mw = mh if w == h else jnp.asarray(_resize_matrix(w, crop), dtype=mdtype)
     x = images_u8.astype(mdtype)
     y = jnp.einsum("bhwc,hH->bHwc", x, mh,
                    preferred_element_type=jnp.float32).astype(mdtype)
@@ -223,5 +230,6 @@ def device_transform(images_u8: jax.Array,
     return z.astype(dtype)
 
 
-def eval_transform(images_u8: jax.Array, dtype=jnp.float32) -> jax.Array:
-    return device_transform(images_u8, flip=None, dtype=dtype)
+def eval_transform(images_u8: jax.Array, dtype=jnp.float32,
+                   crop: int = CROP) -> jax.Array:
+    return device_transform(images_u8, flip=None, dtype=dtype, crop=crop)

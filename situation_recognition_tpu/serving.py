@@ -56,7 +56,7 @@ import numpy as np
 #     fused Pallas kernels in the exported program)
 # v6: adds meta "roles_per_verb" (per-verb role-name lists — lets the
 #     serving daemon name the noun slots in responses; server.py)
-FORMAT_VERSION = 6
+FORMAT_VERSION = 7   # v7 adds meta "image_size" (default 224 when absent)
 
 #: a quantized kernel leaf inside the param pytrees handed to the traced
 #: serve functions: ``q`` int8 values + per-output-channel f32 ``scale``
@@ -200,7 +200,10 @@ def export_inference(trainer, path: str, batch_size: int = 1,
     dtype = trainer.config.compute_dtype
 
     def _feats(w, images_u8):
-        x = device_transform(images_u8, None, dtype=dtype)
+        # the artifact bakes the trainer's input resolution (meta
+        # "image_size"); the loader's input stays the host 256-window
+        x = device_transform(images_u8, None, dtype=dtype,
+                             crop=trainer.config.image_size)
         return backbone.apply(_dequantize_tree(w["backbone"]), x,
                               train=False).astype(jnp.float32)
 
@@ -268,6 +271,7 @@ def export_inference(trainer, path: str, batch_size: int = 1,
             # provenance, for ops/debugging (the program itself is closed)
             "backbone": trainer.config.backbone,
             "hidden": trainer.config.hidden,
+            "image_size": trainer.config.image_size,
             "num_verbs": trainer.encoder.get_num_verbs(),
             "num_labels": trainer.encoder.get_num_labels(),
             "max_role_count": trainer.encoder.max_role_count,

@@ -142,6 +142,15 @@ class TrainerConfig:
     num_ggnn_steps: int = 4
     dropout_rate: float = 0.5            # reference hardcodes 0.5 (model.py:105-111)
     backbone: str = "resnet152"          # resnet18/34/50/101/152 | vit_* | mini
+    # Model input resolution.  224 is the reference's (imsitu_encoder.py:
+    # 21-36 Resize(224)+Crop(224)); other sizes (e.g. 336 for the CLIP
+    # ViT-L/14@336 grid) reuse the same host 256-window + device
+    # resize-as-matmul path, upsampling when image_size > WINDOW.  ViT
+    # backbones need image_size % patch == 0 (validated); ResNets accept
+    # any size ≥ 32 (global average pooling).  Converted 224-grid ViT
+    # checkpoints are adapted via pos-embed interpolation
+    # (utils/torch_convert.py image_size=...).
+    image_size: int = 224
     compute_dtype: Any = jnp.bfloat16    # bf16 on TPU; tests use float32
     seed: int = 0
     model_axis: int = 1                  # >1 enables classifier TP
@@ -259,6 +268,16 @@ class Trainer:
         dt = config.compute_dtype
         self.backbone, self._backbone_has_bn = build_backbone(
             config.backbone, dt, config.hidden)
+        patch = getattr(self.backbone, "patch", None)
+        if patch is not None and config.image_size % patch != 0:
+            # a VALID-padded patch conv would silently floor the grid,
+            # leaving pos_embed sized for tokens the converter never saw
+            raise ValueError(
+                f"image_size {config.image_size} not divisible by "
+                f"{config.backbone}'s patch {patch}")
+        if config.image_size < 32:
+            raise ValueError(
+                f"image_size must be >= 32, got {config.image_size}")
         self.head = FCGGNNHead(
             num_verbs=encoder.get_num_verbs(),
             num_roles=encoder.get_num_roles(),
@@ -276,7 +295,8 @@ class Trainer:
 
         key = jax.random.PRNGKey(config.seed)
         bkey, hkey, self._dropout_base = jax.random.split(key, 3)
-        img_stub = jnp.zeros((1, 224, 224, 3), jnp.float32)
+        img_stub = jnp.zeros(
+            (1, config.image_size, config.image_size, 3), jnp.float32)
         if backbone_variables is None:
             backbone_variables = self.backbone.init(bkey, img_stub, train=False)
         self.backbone_params = backbone_variables["params"]
@@ -356,7 +376,8 @@ class Trainer:
         gradient, so hoisting costs nothing and lets the forward-only head
         branches (gt nouns) keep their fused-kernel primal."""
         x = device_transform(images, flip if train else None,
-                             dtype=self.config.compute_dtype)
+                             dtype=self.config.compute_dtype,
+                             crop=self.config.image_size)
         # frozen_backbone_bn is strictly a BN-mode knob: non-BN backbones
         # keep their true train flag so any future train-dependent backbone
         # op (dropout, stochastic depth) is unaffected by it
@@ -529,7 +550,9 @@ class Trainer:
         # single-device inference paths (results/analize_subset modes):
         # batch-1 inputs, eval-mode BN, 2 backbone passes like the reference
         def _infer_feats(backbone_params, backbone_stats, images):
-            x = device_transform(images, None, dtype=self.config.compute_dtype)
+            x = device_transform(images, None,
+                                 dtype=self.config.compute_dtype,
+                                 crop=self.config.image_size)
             variables = {"params": backbone_params}
             if self._backbone_has_bn:
                 variables["batch_stats"] = backbone_stats

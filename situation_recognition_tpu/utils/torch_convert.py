@@ -119,8 +119,54 @@ def convert_resnet(
     return params, stats
 
 
+def interpolate_pos_embed(pos: np.ndarray, target_tokens: int) -> np.ndarray:
+    """Adapt a ViT position embedding ``(1, N_src, D)`` to a different
+    patch-grid size → ``(1, target_tokens, D)``.
+
+    The standard checkpoint-adaptation recipe for running a pretrained ViT
+    at another resolution (e.g. a 224-grid CLIP ViT-L/14 at 336): the CLS
+    row is kept verbatim and the square patch grid is resampled with
+    bicubic interpolation (``jax.image.resize('cubic')``, Catmull-Rom).
+    There is no reference behavior to match here (the reference is
+    224-only, ``/root/reference/utils/imsitu_encoder.py:21-36``), so the
+    Keys-kernel a = −0.5 vs torch ``F.interpolate``'s a = −0.75 difference
+    is a non-goal; identical grids return the input bit-exactly with no
+    resampling."""
+    pos = np.asarray(pos)
+    if pos.ndim != 3 or pos.shape[0] != 1:
+        raise ValueError(f"pos_embed must be (1, N, D), got {pos.shape}")
+    n_src = pos.shape[1]
+    if target_tokens == n_src:
+        return pos
+    g_src = int(round((n_src - 1) ** 0.5))
+    g_tgt = int(round((target_tokens - 1) ** 0.5))
+    if g_src * g_src + 1 != n_src or g_tgt * g_tgt + 1 != target_tokens:
+        raise ValueError(
+            f"pos_embed grids must be square+CLS: {n_src} -> "
+            f"{target_tokens} tokens do not factor as g*g+1")
+    import jax
+
+    cls_row = pos[:, :1]
+    grid = pos[0, 1:].reshape(g_src, g_src, pos.shape[-1]).astype(np.float32)
+    resized = np.asarray(jax.image.resize(
+        grid, (g_tgt, g_tgt, grid.shape[-1]), method="cubic"))
+    return np.concatenate(
+        [cls_row.astype(np.float32),
+         resized.reshape(1, g_tgt * g_tgt, -1)], axis=1)
+
+
+def _vit_target_tokens(patch_kernel: np.ndarray, image_size: int) -> int:
+    """Token count a (kH, kW, I, O)-converted patch conv produces at
+    ``image_size`` (+1 CLS), validating divisibility."""
+    p = int(np.asarray(patch_kernel).shape[0])
+    if image_size % p:
+        raise ValueError(
+            f"image_size {image_size} not divisible by patch {p}")
+    return (image_size // p) ** 2 + 1
+
+
 def convert_vit(state: Mapping[str, np.ndarray],
-                num_heads: int) -> dict:
+                num_heads: int, image_size: int | None = None) -> dict:
     """torchvision VisionTransformer ``state_dict`` → params tree of
     ``models/vit.py:ViT``.
 
@@ -136,6 +182,10 @@ def convert_vit(state: Mapping[str, np.ndarray],
     rows with ``y = x @ W.T``; flax ``MultiHeadDotProductAttention`` keeps
     per-projection DenseGeneral kernels (D, H, Dh) with bias (H, Dh), and
     an out kernel (H, Dh, D).
+
+    ``image_size``: adapt the checkpoint to another input resolution by
+    bicubic pos-embed interpolation (:func:`interpolate_pos_embed`);
+    ``None`` keeps the checkpoint's grid.
     """
     params: dict = {}
 
@@ -151,11 +201,16 @@ def convert_vit(state: Mapping[str, np.ndarray],
     Dh = D // num_heads
 
     params["cls_token"] = np.asarray(state["class_token"])
-    params["pos_embed"] = np.asarray(state["encoder.pos_embedding"])
     params["patch_embed"] = {
         "kernel": _conv(np.asarray(state["conv_proj.weight"])),
         "bias": np.asarray(state["conv_proj.bias"]),
     }
+    pos = np.asarray(state["encoder.pos_embedding"])
+    if image_size is not None:
+        # run the pretrained grid at another resolution (``image_size``)
+        pos = interpolate_pos_embed(pos, _vit_target_tokens(
+            params["patch_embed"]["kernel"], image_size))
+    params["pos_embed"] = pos
     params["ln_final"] = {"scale": _get("encoder.ln.weight"),
                           "bias": _get("encoder.ln.bias")}
 
@@ -202,7 +257,7 @@ def convert_vit(state: Mapping[str, np.ndarray],
 
 
 def convert_clip_vit(state: Mapping[str, np.ndarray],
-                     num_heads: int) -> dict:
+                     num_heads: int, image_size: int | None = None) -> dict:
     """CLIP visual-tower ``state_dict`` → params tree of ``models/vit.py:ViT``
     built with ``clip_variant=True`` (ln_pre, bias-free patch conv,
     QuickGELU — see models/vit.py).
@@ -223,11 +278,17 @@ def convert_clip_vit(state: Mapping[str, np.ndarray],
         raise ValueError(f"width {D} not divisible by {num_heads} heads")
     Dh = D // num_heads
 
+    patch_kernel = _conv(g("conv1.weight"))
+    pos = g("positional_embedding")[None]
+    if image_size is not None:
+        # e.g. the published 224-grid CLIP ViT-L/14 served at 336
+        pos = interpolate_pos_embed(
+            pos, _vit_target_tokens(patch_kernel, image_size))
     params: dict = {
         # CLIP keeps (D,) / (N, D); our module uses (1, 1, D) / (1, N, D)
         "cls_token": g("class_embedding").reshape(1, 1, D),
-        "pos_embed": g("positional_embedding")[None],
-        "patch_embed": {"kernel": _conv(g("conv1.weight"))},   # no bias
+        "pos_embed": pos,
+        "patch_embed": {"kernel": patch_kernel},               # no bias
         "ln_pre": {"scale": g("ln_pre.weight"), "bias": g("ln_pre.bias")},
         "ln_final": {"scale": g("ln_post.weight"), "bias": g("ln_post.bias")},
     }

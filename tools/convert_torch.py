@@ -30,6 +30,11 @@ def main():
     ap.add_argument("--heads", type=int, default=16,
                     help="attention heads for ViT-flavor backbones "
                          "(16 for ViT-L, 12 for ViT-B; ignored for ResNets)")
+    ap.add_argument("--image_size", type=int, default=None,
+                    help="adapt a ViT checkpoint to this input resolution "
+                         "(bicubic pos-embed interpolation, e.g. 336 for "
+                         "CLIP ViT-L/14@336; default: keep the "
+                         "checkpoint's grid; ignored for ResNets)")
     args = ap.parse_args()
 
     import numpy as np
@@ -42,9 +47,11 @@ def main():
         sd = torch_convert.load_torch_file(args.src)
         # sniff the flavor: torchvision ViT / CLIP visual tower / ResNet
         if "conv_proj.weight" in sd:
-            params, stats = torch_convert.convert_vit(sd, args.heads), {}
+            params, stats = torch_convert.convert_vit(
+                sd, args.heads, image_size=args.image_size), {}
         elif any(k.endswith("ln_pre.weight") for k in sd):
-            params, stats = torch_convert.convert_clip_vit(sd, args.heads), {}
+            params, stats = torch_convert.convert_clip_vit(
+                sd, args.heads, image_size=args.image_size), {}
         else:
             prefix = "convnet_nouns.model." if any(
                 k.startswith("convnet_nouns.") for k in sd) else ""
