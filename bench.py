@@ -20,7 +20,10 @@ generous estimate used here (BASELINE target: >= 8x this).
 Env knobs: BENCH_MODE=train|eval|serving, BENCH_BATCH (default 768/chip),
 BENCH_BACKBONE (resnet152|vit_l14|vit_b16|...), BENCH_STEPS,
 BENCH_IMAGE_SIZE (input resolution, default 224; e.g. 336 for the CLIP
-ViT-L/14@336 grid), BENCH_FROZEN_BN=train|eval; serving mode adds
+ViT-L/14@336 grid), BENCH_FROZEN_BN=train|eval,
+BENCH_TRAIN_BACKBONE=1 (time the --train_backbone fine-tuning step,
+remat on; use BENCH_BATCH<=256 — the backbone backward does not fit
+HBM at the frozen default 768); serving mode adds
 BENCH_WEIGHTS=f32|bf16|int8,
 BENCH_BAKE=0 (weights-external artifact), BENCH_TARGET=tpu (keep the
 fused Pallas kernels in the exported program).
@@ -112,6 +115,12 @@ def main():
     # BENCH_IMAGE_SIZE: model input resolution (default 224, the parity
     # size; e.g. 336 measures the CLIP ViT-L/14@336 grid)
     image_size = int(os.environ.get("BENCH_IMAGE_SIZE", "224"))
+    # BENCH_TRAIN_BACKBONE=1: time the fine-tuning step (--train_backbone
+    # — backbone inside the grad closure, per-block remat on).  Backward
+    # activations scale with the batch: use BENCH_BATCH<=256 for
+    # ResNet-152 (the frozen default 768 OOMs a 16 GB chip when the
+    # backbone backward is live)
+    train_bb = os.environ.get("BENCH_TRAIN_BACKBONE", "0") == "1"
 
     # full-size synthetic vocab: 504 verbs / 190 roles / 2001 labels / R=6
     # (the tiny fixture would understate the classifier + GGNN width)
@@ -128,6 +137,8 @@ def main():
         compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
         frozen_backbone_bn=frozen_bn,
         image_size=image_size,
+        train_backbone=train_bb,
+        remat_backbone=train_bb,
     )
     trainer = Trainer(encoder, cfg, mesh=mesh)
 
@@ -231,6 +242,23 @@ def main():
                 trainer.backbone_stats, arrays["images"], arrays["verbs"],
                 arrays["labels"], valid)
             return losses
+    elif train_bb:
+        compiled = trainer._train_step_ft.lower(
+            trainer._trainable(), trainer.opt_state,
+            trainer.backbone_stats, jax.random.PRNGKey(0),
+            arrays["images"], arrays["flip"], arrays["verbs"],
+            arrays["labels"], valid).compile()
+
+        def step(i):
+            key = jax.random.fold_in(jax.random.PRNGKey(0), i)
+            (tp, trainer.opt_state, trainer.backbone_stats,
+             losses, topk) = compiled(
+                trainer._trainable(), trainer.opt_state,
+                trainer.backbone_stats, key, arrays["images"],
+                arrays["flip"], arrays["verbs"], arrays["labels"], valid)
+            trainer.head_params = tp["head"]
+            trainer.backbone_params = tp["backbone"]
+            return losses
     else:
         compiled = trainer._train_step.lower(
             trainer.head_params, trainer.opt_state,
@@ -314,6 +342,10 @@ def main():
                                    / REFERENCE_IMG_PER_SEC_PER_CHIP, 2)
     if frozen_bn != "train":
         out["frozen_bn"] = frozen_bn
+    if train_bb:
+        out["train_backbone"] = True
+    if image_size != 224:
+        out["image_size"] = image_size
     if mfu is not None:
         out["mfu"] = round(mfu, 4)
     if hbm_util is not None:

@@ -110,6 +110,24 @@ def build_parser() -> ArgumentParser:
                              'on few chips).  Train-mode BN computes '
                              'per-microbatch stats (DIVERGENCES #17 '
                              'class)')
+    parser.add_argument('--train_backbone', action='store_true',
+                        help='Fine-tune the backbone (ADDITIVE: the '
+                             'reference freezes its backbones at '
+                             'construction and filters them out of the '
+                             'optimizer).  One global-norm-1 clip over '
+                             'head+backbone gradients, Adamax on both.  '
+                             'Memory scales with the microbatch: combine '
+                             '--grad_accum and --remat_backbone for '
+                             'flagship widths')
+    parser.add_argument('--backbone_lr', type=float, default=None,
+                        help='Decoupled backbone learning rate (default: '
+                             '--lr; exact — Adamax updates are linear in '
+                             'lr).  Needs --train_backbone')
+    parser.add_argument('--remat_backbone', action='store_true',
+                        help='Rematerialize residual/encoder blocks on '
+                             'the backward pass (backward activation '
+                             'memory drops to block boundaries for one '
+                             'extra forward).  Needs --train_backbone')
     parser.add_argument('--save_steps', type=int, default=0,
                         help='Also checkpoint every N train steps '
                              '(mid-epoch, preemption-safe resume)')
@@ -328,6 +346,12 @@ def main(argv=None) -> None:
         parser.error('--preproc exact is the reference\'s literal '
                      'Resize(224)+CenterCrop(224) pipeline; it cannot '
                      f'combine with --image_size {args.image_size}')
+    if args.backbone_lr is not None and not args.train_backbone:
+        parser.error('--backbone_lr needs --train_backbone (the frozen '
+                     'backbone takes no optimizer steps)')
+    if args.remat_backbone and not args.train_backbone:
+        parser.error('--remat_backbone needs --train_backbone (a frozen '
+                     'backbone stores no backward activations)')
 
     # seed the stdlib RNG too (--subset samples via random.randrange like
     # the reference, sr.py:294-295; seeding makes the mode reproducible
@@ -514,7 +538,10 @@ def main(argv=None) -> None:
         backbone=args.backbone, compute_dtype=dtype, seed=args.seed,
         image_size=args.image_size,
         model_axis=args.model_axis, ggnn_impl=args.ggnn,
-        frozen_backbone_bn=args.frozen_bn, grad_accum=accum)
+        frozen_backbone_bn=args.frozen_bn, grad_accum=accum,
+        train_backbone=args.train_backbone,
+        backbone_lr=args.backbone_lr,
+        remat_backbone=args.remat_backbone)
     mesh = None
     if shard is not None:
         from situation_recognition_tpu.parallel.distributed import (

@@ -119,6 +119,16 @@ class ResNet(nn.Module):
     dtype: Any = jnp.float32
     base_width: int = 64   # stem width
     basic: bool = False    # BasicBlock (18/34) instead of Bottleneck
+    #: rematerialize each residual block on the backward pass
+    #: (``jax.checkpoint`` via ``nn.remat``): backward-pass activation
+    #: memory drops from every conv output to the block-boundary residual
+    #: stream, at the cost of one extra block forward.  Only meaningful
+    #: when the backbone is being DIFFERENTIATED (``--train_backbone``) —
+    #: the frozen/forward-only paths store nothing either way, so the
+    #: default stays off and the param tree/name layout is unchanged
+    #: (``nn.remat`` preserves module names: converters and checkpoints
+    #: see the same keys).
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -133,6 +143,11 @@ class ResNet(nn.Module):
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
         block_cls = BasicBlock if self.basic else Bottleneck
+        if self.remat:
+            # static_argnums counts (self, x, train) and only sees
+            # POSITIONAL args: ``train`` must be static — it selects the
+            # BN branch, not an array input
+            block_cls = nn.remat(block_cls, static_argnums=(2,))
         features = self.base_width
         for stage, num_blocks in enumerate(self.stage_sizes):
             for block in range(num_blocks):
@@ -148,7 +163,7 @@ class ResNet(nn.Module):
                     has_downsample=has_ds,
                     dtype=self.dtype,
                     name=f"layer{stage + 1}_{block}",
-                )(x, train=train)
+                )(x, train)   # positional: static_argnums can't see kwargs
             features *= 2
 
         # global average pool == torch AdaptiveAvgPool2d(1) + flatten

@@ -162,6 +162,12 @@ class ViT(nn.Module):
     clip_variant: bool = False
     block_impl: str = "auto"       # auto | pallas | flax (EncoderBlock)
     interpret: bool = False        # CPU interpret mode for kernel tests
+    #: rematerialize each encoder block on the backward pass (nn.remat;
+    #: see models/resnet.py ResNet.remat).  Only meaningful when the
+    #: backbone is differentiated (``--train_backbone``); implies the
+    #: per-block path (the stream stack is one whole-depth call, so
+    #: per-block remat cannot apply to it).  Param tree unchanged.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -221,12 +227,17 @@ class ViT(nn.Module):
             out = nn.LayerNorm(epsilon=ln_eps, dtype=jnp.float32,
                                name="ln_final")(cls_feats)
             return out.astype(self.dtype)
+        block_cls = EncoderBlock
+        if self.remat:
+            # static_argnums counts (self, x, train); train positional
+            # (kwargs are invisible to static_argnums)
+            block_cls = nn.remat(EncoderBlock, static_argnums=(2,))
         for i in range(self.depth):
-            x = EncoderBlock(self.width, self.heads, dtype=self.dtype,
-                             quick_gelu=self.clip_variant, ln_eps=ln_eps,
-                             block_impl=self.block_impl,
-                             interpret=self.interpret,
-                             name=f"block{i}")(x, train=train)
+            x = block_cls(self.width, self.heads, dtype=self.dtype,
+                          quick_gelu=self.clip_variant, ln_eps=ln_eps,
+                          block_impl=self.block_impl,
+                          interpret=self.interpret,
+                          name=f"block{i}")(x, train)
         x = nn.LayerNorm(epsilon=ln_eps, dtype=jnp.float32,
                          name="ln_final")(x)
         return x[:, 0, :].astype(self.dtype)                # CLS token
@@ -247,6 +258,10 @@ class ViT(nn.Module):
                 f"block_impl must be auto|pallas|flax, got "
                 f"{self.block_impl!r}")
         if self.is_initializing() or self.block_impl == "flax":
+            return False
+        if self.remat:
+            # per-block remat needs per-block calls; the stream stack is
+            # one whole-depth call
             return False
         if os.environ.get("SRTPU_VIT_STREAM", "1") == "0":
             return False

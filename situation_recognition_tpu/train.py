@@ -185,6 +185,31 @@ class TrainerConfig:
     # divergence class as DataParallel's per-replica stats, DIVERGENCES
     # #17; EMA updates run once per microbatch).
     grad_accum: int = 1
+    # Backbone fine-tuning (ADDITIVE — the reference CANNOT do this: its
+    # backbones are frozen at construction, /root/reference/model.py:17-18,
+    # and its optimizer filters on requires_grad, sr.py:472-473, so the
+    # resume-path "unfreeze fc" is a no-op on an Identity).  When True the
+    # backbone params join the optimizer step: ONE global-norm-1 clip over
+    # head+backbone gradients (what torch clip_grad_norm_ over all
+    # optimizer params would do) and Adamax on both subtrees.  The gt noun
+    # branch stays hoisted outside the grad closure (logged-only loss,
+    # sr.py:76), so the fused GGNN kernel still engages there; fused ViT
+    # backbone kernels route differentiated calls to XLA AD by their
+    # custom-VJP contract (ops/vit_pallas.py), so ViT fine-tuning runs the
+    # reference jnp math.  Memory: backward-pass activations scale with
+    # the microbatch — combine ``grad_accum`` (smaller microbatches) and
+    # ``remat_backbone`` (block-boundary activations only) for flagship
+    # widths.
+    train_backbone: bool = False
+    # Optional decoupled backbone learning rate (default: ``lr``).  Exact:
+    # Adamax updates are linear in lr, so post-scaling the backbone
+    # subtree's updates by backbone_lr/lr IS Adamax at backbone_lr.
+    backbone_lr: Optional[float] = None
+    # Rematerialize residual/encoder blocks on the backward pass
+    # (models/resnet.py ResNet.remat, models/vit.py ViT.remat).  Only
+    # applied when train_backbone is set (a frozen backbone stores no
+    # backward activations to begin with).
+    remat_backbone: bool = False
 
 
 _RESNETS = {
@@ -227,28 +252,53 @@ def resolve_ggnn_impl(impl: str, compute_dtype=jnp.bfloat16) -> str:
     return impl
 
 
-def build_backbone(name: str, dtype, hidden: int):
+def build_backbone(name: str, dtype, hidden: int, remat: bool = False):
     """name → (module, has_batchnorm).  The head hidden size must equal the
     backbone feature width (ResNet: base_width*32; ViT: its width) — the
-    reference ties D_hidden_state to its backbone features the same way."""
+    reference ties D_hidden_state to its backbone features the same way.
+    ``remat``: per-block rematerialization for fine-tuning (param tree
+    unchanged — nn.remat preserves module names)."""
     if name in _RESNETS:
         if hidden % 32 != 0:
             raise ValueError("hidden must be a multiple of 32 for ResNets")
         return ResNet(stage_sizes=_RESNETS[name], dtype=dtype,
-                      base_width=hidden // 32), True
+                      base_width=hidden // 32, remat=remat), True
     if name in _BASIC_RESNETS:
         if hidden % 8 != 0:
             raise ValueError(
                 "hidden must be a multiple of 8 for BasicBlock ResNets")
         return ResNet(stage_sizes=_BASIC_RESNETS[name], dtype=dtype,
-                      base_width=hidden // 8, basic=True), True
+                      base_width=hidden // 8, basic=True, remat=remat), True
     if name in _VITS:
         if hidden != VIT_WIDTHS[name]:
             raise ValueError(
                 f"{name} produces {VIT_WIDTHS[name]}-d features; "
                 f"set hidden={VIT_WIDTHS[name]} (got {hidden})")
-        return _VITS[name](dtype=dtype), False
+        module = _VITS[name](dtype=dtype)
+        if remat:
+            module = module.clone(remat=True)
+        return module, False
     raise ValueError(f"unknown backbone {name!r}")
+
+
+def _scale_subtree(key: str, ratio: float) -> "optax.GradientTransformation":
+    """Post-scale the updates of one top-level subtree of the param dict.
+
+    Placed AFTER adamax in the chain this is exactly Adamax at
+    ``lr * ratio`` for that subtree (the final update is linear in lr),
+    without the masked/multi-transform state machinery — mu/nu keep the
+    plain combined-tree structure the checkpoint placement rule expects."""
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del params
+        updates = dict(updates)
+        updates[key] = jax.tree.map(lambda u: u * ratio, updates[key])
+        return updates, state
+
+    return optax.GradientTransformation(init, update)
 
 
 class Trainer:
@@ -266,8 +316,10 @@ class Trainer:
                 f"batch_size {config.batch_size} not divisible by data axis {ndata}")
 
         dt = config.compute_dtype
+        self._ft = bool(config.train_backbone)
         self.backbone, self._backbone_has_bn = build_backbone(
-            config.backbone, dt, config.hidden)
+            config.backbone, dt, config.hidden,
+            remat=config.remat_backbone and self._ft)
         patch = getattr(self.backbone, "patch", None)
         if patch is not None and config.image_size % patch != 0:
             # a VALID-padded patch conv would silently floor the grid,
@@ -310,10 +362,16 @@ class Trainer:
 
         # reference: Adamax(lr=0.002) over trainable params with
         # clip_grad_norm_(1.0) applied before the step (sr.py:472,81)
-        self.tx = optax.chain(
-            optax.clip_by_global_norm(1.0),
-            optax.adamax(config.lr),
-        )
+        txs = [optax.clip_by_global_norm(1.0), optax.adamax(config.lr)]
+        if self._ft and config.backbone_lr is not None \
+                and config.backbone_lr != config.lr:
+            if config.lr == 0:
+                raise ValueError(
+                    "backbone_lr needs lr != 0 (the backbone rate is "
+                    "implemented as an exact post-scale of adamax(lr))")
+            txs.append(_scale_subtree(
+                "backbone", config.backbone_lr / config.lr))
+        self.tx = optax.chain(*txs)
         self.step_count = 0
 
         self._repl = NamedSharding(self.mesh, P())
@@ -338,9 +396,22 @@ class Trainer:
         self.head_params = jax.device_put(self.head_params, self._head_sh)
         self.backbone_params = jax.device_put(self.backbone_params, self._repl)
         self.backbone_stats = jax.device_put(self.backbone_stats, self._repl)
+        # adamax mu/nu mirror the TRAINABLE tree: head-only when the
+        # backbone is frozen (the reference's only mode), head+backbone
+        # (backbone replicated) under train_backbone
+        self._opt_sh = ({"head": self._head_sh, "backbone": self._repl}
+                        if self._ft else self._head_sh)
         self.opt_state = self._place_opt_state(
-            jax.jit(self.tx.init)(self.head_params))
+            jax.jit(self.tx.init)(self._trainable()))
         self._build_steps()
+
+    def _trainable(self) -> Any:
+        """The optimizer's param tree: head-only (reference semantics) or
+        the combined {'head', 'backbone'} dict under train_backbone."""
+        if self._ft:
+            return {"head": self.head_params,
+                    "backbone": self.backbone_params}
+        return self.head_params
 
     def _place_opt_state(self, state):
         """Commit an optimizer-state tree to the mesh: adamax mu/nu mirror
@@ -356,8 +427,8 @@ class Trainer:
                 return node._replace(
                     count=jax.device_put(jnp.asarray(node.count),
                                          self._repl),
-                    mu=jax.device_put(node.mu, self._head_sh),
-                    nu=jax.device_put(node.nu, self._head_sh))
+                    mu=jax.device_put(node.mu, self._opt_sh),
+                    nu=jax.device_put(node.nu, self._opt_sh))
             # any other node reaching here is a plain array leaf (the
             # is_leaf below only groups adamax states)
             return jax.device_put(jnp.asarray(node), self._repl)
@@ -368,13 +439,16 @@ class Trainer:
     # ------------------------------------------------------------- stepping
 
     def _features(self, backbone_params, backbone_stats, images, flip,
-                  train):
-        """Device transform + frozen backbone → (feats f32, new BN stats).
+                  train, stop_grad: bool = True):
+        """Device transform + backbone → (feats f32, new BN stats).
 
-        Runs OUTSIDE any grad closure in the train step: the backbone is
+        Frozen mode (``stop_grad=True``, the reference's only mode): runs
+        OUTSIDE any grad closure in the train step — the backbone is
         frozen (features stop-gradiented) and the BN-stat update needs no
         gradient, so hoisting costs nothing and lets the forward-only head
-        branches (gt nouns) keep their fused-kernel primal."""
+        branches (gt nouns) keep their fused-kernel primal.
+        Fine-tuning (``stop_grad=False``, train_backbone): called INSIDE
+        the grad closure so gradients flow into the backbone params."""
         x = device_transform(images, flip if train else None,
                              dtype=self.config.compute_dtype,
                              crop=self.config.image_size)
@@ -397,7 +471,9 @@ class Trainer:
                 {"params": backbone_params, "batch_stats": backbone_stats},
                 x, train=False)
             new_stats = backbone_stats
-        feats = jax.lax.stop_gradient(feats.astype(jnp.float32))
+        feats = feats.astype(jnp.float32)
+        if stop_grad:
+            feats = jax.lax.stop_gradient(feats)
         return feats, new_stats
 
     def _forward(self, head_params, backbone_params, backbone_stats,
@@ -518,10 +594,64 @@ class Trainer:
 
         def apply_accum_step(head_params, opt_state, acc, count):
             # mean of the microbatch gradients; clip-then-adamax on the
-            # mean exactly as the fused train_step does on its one batch
+            # mean exactly as the fused train_step does on its one batch.
+            # (generic over the trainable tree: head-only or the combined
+            # {'head','backbone'} dict under train_backbone)
             mean = jax.tree.map(lambda g: g / count, acc)
             updates, opt_state = tx.update(mean, opt_state, head_params)
             return optax.apply_updates(head_params, updates), opt_state
+
+        def _ft_loss_and_grads(tp, backbone_stats, dropout_key, images,
+                               flip, verbs, labels, valid):
+            # fine-tuning core (train_backbone): the backbone forward
+            # lives INSIDE the grad closure — features are NOT
+            # stop-gradiented, so jax.grad reaches the backbone params
+            # (and BN gamma/beta; the batch-stat EMA update rides along
+            # as aux).  The gt noun branch still runs OUTSIDE on the
+            # aux-returned features (its loss is logged, never
+            # backpropagated — sr.py:76), so the fused GGNN kernel
+            # engages there exactly as in the frozen step.
+            def loss_fn(tp):
+                feats, new_stats = self._features(
+                    tp["backbone"], backbone_stats, images, flip, True,
+                    stop_grad=False)
+                pred_verb, pred_nouns = self.head.apply(
+                    {"params": tp["head"]}, feats, self.role_ids,
+                    self.role_mask, train=True,
+                    rngs={"dropout": dropout_key},
+                    method=self.head.predict_train)
+                vloss = _masked_verb_loss(pred_verb, verbs, valid)
+                nloss = _masked_nouns_loss(pred_nouns, labels, L, valid)
+                return vloss + nloss, (feats, new_stats, pred_verb,
+                                       pred_nouns, vloss, nloss)
+
+            grads, (feats, new_stats, pred_verb, pred_nouns, vloss,
+                    nloss) = jax.grad(loss_fn, has_aux=True)(tp)
+            gt_pred_nouns = self.head.apply(
+                {"params": tp["head"]}, jax.lax.stop_gradient(feats),
+                verbs, self.role_ids, self.role_mask, train=True,
+                rngs={"dropout": jax.random.fold_in(dropout_key, 1)},
+                method=self.head.predict_nouns)
+            gloss = _masked_nouns_loss(gt_pred_nouns, labels, L, valid)
+            outs = (pred_verb, pred_nouns, gt_pred_nouns)
+            return grads, new_stats, (vloss, nloss, gloss), outs
+
+        def train_step_ft(tp, opt_state, backbone_stats, dropout_key,
+                          images, flip, verbs, labels, valid):
+            grads, new_stats, losses, outs = _ft_loss_and_grads(
+                tp, backbone_stats, dropout_key, images, flip, verbs,
+                labels, valid)
+            updates, opt_state = tx.update(grads, opt_state, tp)
+            tp = optax.apply_updates(tp, updates)
+            return tp, opt_state, new_stats, losses, self._topk(outs)
+
+        def grad_accum_step_ft(tp, acc, backbone_stats, dropout_key,
+                               images, flip, verbs, labels, valid):
+            grads, new_stats, losses, outs = _ft_loss_and_grads(
+                tp, backbone_stats, dropout_key, images, flip, verbs,
+                labels, valid)
+            acc = jax.tree.map(jnp.add, acc, grads)
+            return acc, new_stats, losses, self._topk(outs)
 
         repl, bsh = self._repl, self._bsh
         # head_params/opt_state shardings are inferred from the arrays
@@ -542,6 +672,19 @@ class Trainer:
             apply_accum_step, donate_argnums=(0, 1, 2))
         self._zero_grads = jax.jit(
             lambda hp: jax.tree.map(jnp.zeros_like, hp))
+        if self._ft:
+            self._train_step_ft = jax.jit(
+                train_step_ft,
+                in_shardings=(None, None, repl, repl,
+                              bsh, bsh, bsh, bsh, bsh),
+                donate_argnums=(0, 1, 2),
+            )
+            self._grad_accum_step_ft = jax.jit(
+                grad_accum_step_ft,
+                in_shardings=(None, None, repl, repl,
+                              bsh, bsh, bsh, bsh, bsh),
+                donate_argnums=(1, 2),
+            )
         self._eval_step = jax.jit(
             eval_step,
             in_shardings=(None, repl, repl, bsh, bsh, bsh, bsh),
@@ -753,9 +896,17 @@ class Trainer:
         def _apply_pending():
             nonlocal acc, micros
             if acc is not None and micros:
-                self.head_params, self.opt_state = self._apply_accum_step(
-                    self.head_params, self.opt_state, acc,
-                    jnp.float32(micros))
+                if self._ft:
+                    tp, self.opt_state = self._apply_accum_step(
+                        self._trainable(), self.opt_state, acc,
+                        jnp.float32(micros))
+                    self.head_params = tp["head"]
+                    self.backbone_params = tp["backbone"]
+                else:
+                    (self.head_params,
+                     self.opt_state) = self._apply_accum_step(
+                        self.head_params, self.opt_state, acc,
+                        jnp.float32(micros))
             acc = None
             micros = 0
 
@@ -764,21 +915,38 @@ class Trainer:
             if timer:
                 timer.start()
             if accum == 1:
-                (self.head_params, self.opt_state, self.backbone_stats,
-                 losses, topk) = self._train_step(
-                    self.head_params, self.opt_state, self.backbone_params,
-                    self.backbone_stats, key, arrays["images"],
-                    arrays["flip"], arrays["verbs"], arrays["labels"],
-                    valid)
-            else:
-                if acc is None:
-                    acc = self._zero_grads(self.head_params)
-                (acc, self.backbone_stats, losses, topk) = \
-                    self._grad_accum_step(
-                        self.head_params, acc, self.backbone_params,
+                if self._ft:
+                    (tp, self.opt_state, self.backbone_stats, losses,
+                     topk) = self._train_step_ft(
+                        self._trainable(), self.opt_state,
                         self.backbone_stats, key, arrays["images"],
                         arrays["flip"], arrays["verbs"], arrays["labels"],
                         valid)
+                    self.head_params = tp["head"]
+                    self.backbone_params = tp["backbone"]
+                else:
+                    (self.head_params, self.opt_state, self.backbone_stats,
+                     losses, topk) = self._train_step(
+                        self.head_params, self.opt_state,
+                        self.backbone_params, self.backbone_stats, key,
+                        arrays["images"], arrays["flip"], arrays["verbs"],
+                        arrays["labels"], valid)
+            else:
+                if acc is None:
+                    acc = self._zero_grads(self._trainable())
+                if self._ft:
+                    (acc, self.backbone_stats, losses, topk) = \
+                        self._grad_accum_step_ft(
+                            self._trainable(), acc, self.backbone_stats,
+                            key, arrays["images"], arrays["flip"],
+                            arrays["verbs"], arrays["labels"], valid)
+                else:
+                    (acc, self.backbone_stats, losses, topk) = \
+                        self._grad_accum_step(
+                            self.head_params, acc, self.backbone_params,
+                            self.backbone_stats, key, arrays["images"],
+                            arrays["flip"], arrays["verbs"],
+                            arrays["labels"], valid)
                 micros += 1
                 if micros == accum:
                     _apply_pending()
@@ -1145,9 +1313,20 @@ class Trainer:
         if state.get("step_count") is not None:
             self.step_count = int(state["step_count"])
         if state.get("opt_state") is not None:
-            self.opt_state = self._place_opt_state(
-                serialization.from_state_dict(self.opt_state,
-                                              state["opt_state"]))
+            try:
+                restored = serialization.from_state_dict(
+                    jax.device_get(self.opt_state), state["opt_state"])
+            except (ValueError, KeyError, TypeError) as e:
+                # structure mismatch: a head-only adamax tree resumed into
+                # a train_backbone trainer (or vice versa).  Mirror the
+                # reference's tolerant-load stance (utils.load_net prints
+                # and continues): keep the params, restart the optimizer.
+                print(f"[Mismatch]: optimizer state does not fit this "
+                      f"trainer's optimizer tree (train_backbone "
+                      f"changed?) — reinitializing it ({e})")
+                restored = jax.device_get(
+                    jax.jit(self.tx.init)(self._trainable()))
+            self.opt_state = self._place_opt_state(restored)
         else:
             self.opt_state = self._place_opt_state(
-                jax.jit(self.tx.init)(self.head_params))
+                jax.jit(self.tx.init)(self._trainable()))
