@@ -116,11 +116,13 @@ def main():
     # size; e.g. 336 measures the CLIP ViT-L/14@336 grid)
     image_size = int(os.environ.get("BENCH_IMAGE_SIZE", "224"))
     # BENCH_TRAIN_BACKBONE=1: time the fine-tuning step (--train_backbone
-    # — backbone inside the grad closure, per-block remat on).  Backward
+    # — backbone inside the grad closure, per-block remat on; BENCH_REMAT=0
+    # measures the no-remat backward at the same batch).  Backward
     # activations scale with the batch: use BENCH_BATCH<=256 for
     # ResNet-152 (the frozen default 768 OOMs a 16 GB chip when the
     # backbone backward is live)
     train_bb = os.environ.get("BENCH_TRAIN_BACKBONE", "0") == "1"
+    bb_remat = train_bb and os.environ.get("BENCH_REMAT", "1") == "1"
 
     # full-size synthetic vocab: 504 verbs / 190 roles / 2001 labels / R=6
     # (the tiny fixture would understate the classifier + GGNN width)
@@ -138,7 +140,7 @@ def main():
         frozen_backbone_bn=frozen_bn,
         image_size=image_size,
         train_backbone=train_bb,
-        remat_backbone=train_bb,
+        remat_backbone=bb_remat,
     )
     trainer = Trainer(encoder, cfg, mesh=mesh)
 

@@ -128,6 +128,28 @@ def build_parser() -> ArgumentParser:
                              'the backward pass (backward activation '
                              'memory drops to block boundaries for one '
                              'extra forward).  Needs --train_backbone')
+    parser.add_argument('--lr_schedule', default='constant',
+                        choices=['constant', 'cosine', 'linear'],
+                        help='Learning-rate schedule over optimizer steps '
+                             '(ADDITIVE: the reference trains at a '
+                             'constant lr forever).  cosine/linear decay '
+                             'lr to --min_lr over --total_steps; driven '
+                             'by the optimizer-step counter, so it ticks '
+                             'once per grad-accum group and resumes '
+                             'exactly from checkpoints')
+    parser.add_argument('--warmup_steps', type=int, default=0,
+                        help='Linear lr warmup over the first N optimizer '
+                             'steps (step c runs at lr*(c+1)/N); composes '
+                             'with every --lr_schedule — the standard '
+                             'fine-tuning recipe with --train_backbone')
+    parser.add_argument('--total_steps', type=int, default=None,
+                        help='Decay horizon in optimizer steps for '
+                             'cosine/linear (epochs * steps-per-epoch / '
+                             '--grad_accum for a full run); steps past it '
+                             'hold at --min_lr')
+    parser.add_argument('--min_lr', type=float, default=0.0,
+                        help='Floor of the cosine/linear decay '
+                             '(default 0)')
     parser.add_argument('--save_steps', type=int, default=0,
                         help='Also checkpoint every N train steps '
                              '(mid-epoch, preemption-safe resume)')
@@ -352,6 +374,26 @@ def main(argv=None) -> None:
     if args.remat_backbone and not args.train_backbone:
         parser.error('--remat_backbone needs --train_backbone (a frozen '
                      'backbone stores no backward activations)')
+    if args.lr_schedule == 'constant':
+        if args.total_steps is not None:
+            parser.error('--total_steps is the cosine/linear decay '
+                         'horizon; it has no meaning with '
+                         '--lr_schedule constant')
+        if args.min_lr:
+            parser.error('--min_lr is the cosine/linear decay floor; it '
+                         'has no meaning with --lr_schedule constant')
+    else:
+        if args.total_steps is None:
+            parser.error(f'--lr_schedule {args.lr_schedule} needs '
+                         '--total_steps (the decay horizon in optimizer '
+                         'steps)')
+        if args.total_steps <= args.warmup_steps:
+            parser.error(f'--total_steps ({args.total_steps}) must exceed '
+                         f'--warmup_steps ({args.warmup_steps})')
+    if args.warmup_steps < 0:
+        parser.error('--warmup_steps must be >= 0')
+    if args.min_lr < 0 or args.min_lr > args.lr:
+        parser.error(f'--min_lr must be in [0, --lr={args.lr}]')
 
     # seed the stdlib RNG too (--subset samples via random.randrange like
     # the reference, sr.py:294-295; seeding makes the mode reproducible
@@ -541,7 +583,9 @@ def main(argv=None) -> None:
         frozen_backbone_bn=args.frozen_bn, grad_accum=accum,
         train_backbone=args.train_backbone,
         backbone_lr=args.backbone_lr,
-        remat_backbone=args.remat_backbone)
+        remat_backbone=args.remat_backbone,
+        lr_schedule=args.lr_schedule, warmup_steps=args.warmup_steps,
+        total_steps=args.total_steps, min_lr=args.min_lr)
     mesh = None
     if shard is not None:
         from situation_recognition_tpu.parallel.distributed import (

@@ -210,6 +210,23 @@ class TrainerConfig:
     # applied when train_backbone is set (a frozen backbone stores no
     # backward activations to begin with).
     remat_backbone: bool = False
+    # Learning-rate schedule over OPTIMIZER steps (ADDITIVE — the reference
+    # trains at a constant 0.002 forever, sr.py:472).  "constant" is the
+    # reference default; "cosine"/"linear" decay lr → min_lr over
+    # ``total_steps`` optimizer steps.  ``warmup_steps`` > 0 first ramps
+    # linearly lr/warmup → lr (composable with every schedule, the
+    # standard fine-tuning recipe with ``train_backbone``).  The schedule
+    # is driven by the adamax step counter, so it ticks once per OPTIMIZER
+    # step (grad-accum groups count once) and resumes exactly from a
+    # checkpoint (the counter rides in opt_state).  With ``backbone_lr``
+    # the backbone follows the same schedule shape scaled by
+    # backbone_lr/lr (the post-scale is schedule-invariant).
+    lr_schedule: str = "constant"
+    warmup_steps: int = 0
+    # decay horizon in optimizer steps; required for cosine/linear
+    # (epochs * ceil(len(train)/batch_size/grad_accum) for a full run)
+    total_steps: Optional[int] = None
+    min_lr: float = 0.0
 
 
 _RESNETS = {
@@ -301,6 +318,70 @@ def _scale_subtree(key: str, ratio: float) -> "optax.GradientTransformation":
     return optax.GradientTransformation(init, update)
 
 
+def make_lr_fn(config: TrainerConfig):
+    """Optimizer-step → learning-rate schedule, or ``None`` for the
+    reference-constant path (``lr_schedule='constant'``, no warmup).
+
+    ``None`` keeps ``optax.adamax(lr)`` — the optimizer-state tree stays
+    byte-identical to every pre-schedule checkpoint and the golden
+    transcripts.  Otherwise the returned callable feeds
+    ``optax.adamax(learning_rate=fn)`` (a ``scale_by_schedule`` driven by
+    the optimizer-step counter, which rides in opt_state and therefore
+    resumes exactly).  Shapes:
+
+    - warmup (any schedule): step c < warmup runs at ``lr*(c+1)/warmup``
+      — the FIRST step already moves (lr/warmup, not 0) and step
+      ``warmup`` lands exactly at ``lr``.
+    - cosine: ``min_lr + (lr-min_lr) * 0.5*(1+cos(pi*t))`` with
+      ``t = (c-warmup)/(total_steps-warmup)`` clamped to [0, 1] (steps
+      past the horizon hold at ``min_lr``).
+    - linear: same ``t``, factor ``1-t``.
+    """
+    sched, lr = config.lr_schedule, float(config.lr)
+    if sched not in ("constant", "cosine", "linear"):
+        raise ValueError(
+            f"lr_schedule must be constant|cosine|linear, got {sched!r}")
+    warm = int(config.warmup_steps)
+    if warm < 0:
+        raise ValueError(f"warmup_steps must be >= 0, got {warm}")
+    lo = float(config.min_lr)
+    if lo < 0 or lo > lr:
+        raise ValueError(f"min_lr must be in [0, lr={lr}], got {lo}")
+    if sched == "constant":
+        if config.total_steps is not None:
+            raise ValueError(
+                "total_steps is the cosine/linear decay horizon; it has "
+                "no meaning with lr_schedule='constant'")
+        if warm == 0:
+            return None
+        horizon = 1  # unused
+    else:
+        if config.total_steps is None:
+            raise ValueError(
+                f"lr_schedule={sched!r} needs total_steps (the decay "
+                "horizon in optimizer steps)")
+        horizon = int(config.total_steps) - warm
+        if horizon <= 0:
+            raise ValueError(
+                f"total_steps ({config.total_steps}) must exceed "
+                f"warmup_steps ({warm})")
+
+    def fn(count):
+        c = jnp.asarray(count, jnp.float32)
+        if sched == "constant":
+            val = jnp.float32(lr)
+        else:
+            t = jnp.clip((c - warm) / horizon, 0.0, 1.0)
+            frac = (0.5 * (1.0 + jnp.cos(jnp.pi * t)) if sched == "cosine"
+                    else 1.0 - t)
+            val = lo + (lr - lo) * frac
+        if warm:
+            val = jnp.where(c < warm, lr * (c + 1.0) / warm, val)
+        return val
+
+    return fn
+
+
 class Trainer:
     """Owns models, optimizer, mesh, and the compiled train/eval steps."""
 
@@ -361,8 +442,14 @@ class Trainer:
         self.head_params = head_params
 
         # reference: Adamax(lr=0.002) over trainable params with
-        # clip_grad_norm_(1.0) applied before the step (sr.py:472,81)
-        txs = [optax.clip_by_global_norm(1.0), optax.adamax(config.lr)]
+        # clip_grad_norm_(1.0) applied before the step (sr.py:472,81).
+        # A schedule (warmup/cosine/linear — additive) swaps the constant
+        # lr for a counter-driven one; None keeps the reference-exact
+        # optimizer tree (see make_lr_fn)
+        self._lr_fn = make_lr_fn(config)
+        txs = [optax.clip_by_global_norm(1.0),
+               optax.adamax(self._lr_fn if self._lr_fn is not None
+                            else config.lr)]
         if self._ft and config.backbone_lr is not None \
                 and config.backbone_lr != config.lr:
             if config.lr == 0:
@@ -412,6 +499,19 @@ class Trainer:
             return {"head": self.head_params,
                     "backbone": self.backbone_params}
         return self.head_params
+
+    def current_lr(self) -> float:
+        """The learning rate the NEXT optimizer step will use: ``lr``
+        on the reference-constant path, else the schedule evaluated at
+        the optimizer-step counter (from opt_state, so it is exact
+        across resumes and grad-accum groups)."""
+        if self._lr_fn is None:
+            return float(self.config.lr)
+        counts = [n.count for n in jax.tree.leaves(
+            self.opt_state, is_leaf=lambda n: hasattr(n, "mu"))
+            if hasattr(n, "mu")]
+        step = int(jax.device_get(counts[0])) if counts else 0
+        return float(self._lr_fn(step))
 
     def _place_opt_state(self, state):
         """Commit an optimizer-state tree to the mesh: adamax mu/nu mirror
@@ -1184,7 +1284,11 @@ class Trainer:
                 # the end-of-epoch checkpoint (if any epoch completed)
                 # is the resume point
                 raise Preempted(e, 0)
-            print('Epoch-{}, lr: {:.4f}'.format(e, self.config.lr))
+            # reference format (sr.py prints the configured lr each epoch);
+            # with a schedule active the line reports the lr the epoch's
+            # first optimizer step will actually use
+            epoch_lr = self.current_lr()
+            print('Epoch-{}, lr: {:.4f}'.format(e, epoch_lr))
             timer.reset()
             self._current_epoch = e
             with jax_profile_trace(profile_dir if e == epoch else None):
@@ -1224,7 +1328,7 @@ class Trainer:
 
             if metrics_jsonl:
                 rec = {
-                    "epoch": e, "lr": self.config.lr,
+                    "epoch": e, "lr": epoch_lr,
                     "train_losses": {"verb": vloss, "nouns": nloss,
                                      "gt": gloss},
                     "train_top1": {k: v * 100 for k, v in top1_a.items()},
