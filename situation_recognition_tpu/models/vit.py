@@ -162,11 +162,13 @@ class ViT(nn.Module):
     clip_variant: bool = False
     block_impl: str = "auto"       # auto | pallas | flax (EncoderBlock)
     interpret: bool = False        # CPU interpret mode for kernel tests
-    #: rematerialize each encoder block on the backward pass (nn.remat;
-    #: see models/resnet.py ResNet.remat).  Only meaningful when the
-    #: backbone is differentiated (``--train_backbone``); implies the
-    #: per-block path (the stream stack is one whole-depth call, so
-    #: per-block remat cannot apply to it).  Param tree unchanged.
+    #: rematerialize each encoder block on the backward pass.  Only
+    #: meaningful when the backbone is differentiated
+    #: (``--train_backbone``).  On the stream path this threads into the
+    #: ft stream's per-block ``jax.checkpoint``
+    #: (ops/vit_pallas.py::_ft_cls_stack); on the per-block flax path it
+    #: is ``nn.remat`` (see models/resnet.py ResNet.remat).  Param tree
+    #: unchanged either way.
     remat: bool = False
 
     @nn.compact
@@ -223,7 +225,8 @@ class ViT(nn.Module):
             cls_feats = fused_encoder_cls_stack(
                 x, [wts(i) for i in range(self.depth)],
                 heads=self.heads, eps=ln_eps,
-                quick_gelu=self.clip_variant, interpret=self.interpret)
+                quick_gelu=self.clip_variant, interpret=self.interpret,
+                remat=self.remat)
             out = nn.LayerNorm(epsilon=ln_eps, dtype=jnp.float32,
                                name="ln_final")(cls_feats)
             return out.astype(self.dtype)
@@ -258,10 +261,6 @@ class ViT(nn.Module):
                 f"block_impl must be auto|pallas|flax, got "
                 f"{self.block_impl!r}")
         if self.is_initializing() or self.block_impl == "flax":
-            return False
-        if self.remat:
-            # per-block remat needs per-block calls; the stream stack is
-            # one whole-depth call
             return False
         if os.environ.get("SRTPU_VIT_STREAM", "1") == "0":
             return False

@@ -44,9 +44,12 @@ carries a ``jax.custom_vjp`` whose primal runs the kernels and whose
 fwd/bwd rules run XLA AD over ``_reference_block`` (the same math in
 plain jnp).  The ViT backbone is frozen in every reference configuration
 (/root/reference/model.py:16,100-101 — the convnets are feature
-extractors), so the hot paths (train-step backbone forward, eval,
-serving) are all undifferentiated and take the kernels; a hypothetical
-fine-tuning path would transparently differentiate the reference math.
+extractors), so the reference-parity hot paths (train-step backbone
+forward, eval, serving) are all undifferentiated and take the kernels.
+The additive ``--train_backbone`` fine-tuning path DOES differentiate
+the backbone: the stream stack's fwd rule runs the ft stream (see the
+"differentiable (ft) stream" section below) — jnp 2-D stream math with
+a flash-style Pallas attention core carrying its own backward kernel.
 
 Numerics: the kernels keep softmax and the LN/residual stream in f32
 (flax computes bf16 softmax under ``dtype=bfloat16``), so fused vs flax
@@ -92,14 +95,16 @@ def _block_bytes(bm: int, d: int, hid: int) -> int:
 
 
 def _attn_bytes(n: int, d: int) -> int:
-    """Attention-core working set, which scales with the TOKEN count:
-    four double-buffered (1, n, d) bf16 blocks (q/k/v in, ctx out) plus
-    one live per-head f32 score matrix with its bf16 softmax and
-    scheduling slack.  Without this term large-n shapes (high-res
+    """Attention-core working set, which scales with the TOKEN count.
+    Sized for the BACKWARD kernel (the larger of the two): eight
+    double-buffered (n, d) bf16 blocks (q/k/v/o/do in, dq/dk/dv out)
+    plus ~4 live per-head f32 (n, n) matrices (scores, exp, dp, ds) and
+    scheduling slack.  The forward needs half of each term, so one gate
+    covers both.  Without this term large-n shapes (high-res
     patchifications) would pass the gate yet fail Mosaic compilation —
     the gate and the kernels MUST agree, as ops/ggnn_pallas.py's
     kernel_supported/_pick_bm contract states."""
-    return 4 * 2 * n * d * 2 + int(2.5 * n * n * 4)
+    return 8 * 2 * n * d * 2 + int(4.5 * n * n * 4)
 
 
 def fused_block_supported(d: int, heads: int, n_tokens: int,
@@ -433,6 +438,192 @@ def _fused_stack_impl(x, w_flat, *, heads: int, eps: float,
     return x2[:m].reshape(b_, n8, d_)[:, 0, :]
 
 
+# ------------------------------------------- differentiable (ft) stream
+#
+# The fine-tuning path (``--train_backbone`` with a ViT backbone).  The
+# forward-only kernels above route differentiated calls to XLA AD; for a
+# frozen backbone that rule never fires, but under fine-tuning it made
+# BOTH directions pay the measured XLA layout pathology (the token-major
+# residual-stream layouts the kernels exist to bypass) AND the attention
+# backward's HBM round-trips of the (B, h, N, N) probability/gradient
+# tensors (~2.7 GB f32 per ViT-L/14 block at batch 256 — per pass).
+#
+# Design: only the attention core needs a hand-written backward — it is
+# the one op whose AD materializes O(N^2) tensors in HBM.  Everything
+# else (LN, QKV projections, MLP) is plain jnp on the flattened
+# 8-row-aligned ``(B*n8, D)`` 2-D stream, where XLA's AD emits standard
+# dgrad/wgrad matmuls with default layouts (the pathology was driven by
+# the 3-D attention einsums' consumers; with the core opaque to XLA and
+# the stream 2-D there is nothing to impose token-major layouts).  The
+# backward kernel is flash-attention style: one grid step per example,
+# recompute scores + softmax in VMEM from the saved q/k/v, then
+#   dv = p^T @ do         (folded:  e^T @ (do / den))
+#   dp = do @ v^T
+#   ds = p * (dp - rowsum(do * o)) * scale
+#   dq = ds @ k,   dk = ds^T @ q
+# — five (n, n) x (n, dh) MXU dots per head, zero HBM score traffic.
+
+
+def _attn_bwd_stream_kernel(q_ref, k_ref, v_ref, o_ref, do_ref,
+                            dq_ref, dk_ref, dv_ref, *, heads: int,
+                            scale: float, n_valid: int):
+    """Attention backward for ONE example in the stream domain.
+
+    Blocks are (n8, d) 8-row-aligned slices like the forward core; only
+    the first ``n_valid`` rows are real.  Pad rows are never read (they
+    would pollute the recomputed softmax / accumulate into dk, dv) and
+    their gradient rows are written as zeros (uninitialized VMEM
+    otherwise — they feed the jnp QKV-projection wgrads upstream)."""
+    q = q_ref[0:n_valid]
+    k = k_ref[0:n_valid]
+    v = v_ref[0:n_valid]
+    o = o_ref[0:n_valid]
+    do = do_ref[0:n_valid]
+    d = q.shape[-1]
+    dh = d // heads
+    n8 = dq_ref.shape[0]
+    for h in range(heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        s = jax.lax.dot_general(q[:, sl], k[:, sl],
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        inv = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+        do_h = do[:, sl].astype(jnp.float32)
+        # delta_i = sum_d do_id o_id over THIS head's slice (heads
+        # partition D, so the per-head softmax rows mix nothing across
+        # heads)
+        delta = jnp.sum(do_h * o[:, sl].astype(jnp.float32),
+                        axis=-1, keepdims=True)
+        # dv = p^T @ do with the row softmax denominators folded into
+        # the do rows (p = e * inv, inv is per-QUERY-row, i.e. per row
+        # of both e and do in this contraction)
+        e_b = e.astype(jnp.bfloat16)
+        dv = jax.lax.dot_general(e_b, (do_h * inv).astype(jnp.bfloat16),
+                                 (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do[:, sl], v[:, sl],
+                                 (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = (e * (dp - delta) * (inv * scale)).astype(jnp.bfloat16)
+        dq = jnp.dot(ds, k[:, sl], preferred_element_type=jnp.float32)
+        dk = jax.lax.dot_general(ds, q[:, sl],
+                                 (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dq_ref[0:n_valid, sl] = dq.astype(dq_ref.dtype)
+        dk_ref[0:n_valid, sl] = dk.astype(dk_ref.dtype)
+        dv_ref[0:n_valid, sl] = dv.astype(dv_ref.dtype)
+        if n_valid < n8:
+            z = jnp.zeros((n8 - n_valid, dh), dq_ref.dtype)
+            dq_ref[n_valid:, sl] = z
+            dk_ref[n_valid:, sl] = z
+            dv_ref[n_valid:, sl] = z
+
+
+@functools.lru_cache(maxsize=None)
+def _make_diff_attn(heads: int, scale: float, n8: int, n_valid: int,
+                    folded: bool, interpret: bool):
+    """Differentiable stream-domain attention core: the forward kernel
+    with a flash-style Pallas backward, as a ``jax.custom_vjp`` over
+    ``(B*n8, D)`` q/k/v streams.  Residuals are the bf16 q/k/v inputs
+    plus the context output (for ``rowsum(do * o)``)."""
+
+    def _call(kernel, args, n_out):
+        m, d = args[0].shape
+        aspec = pl.BlockSpec((n8, d), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+        out_shape = [jax.ShapeDtypeStruct((m, d), args[0].dtype)] * n_out
+        return pl.pallas_call(
+            kernel,
+            grid=(m // n8,),
+            in_specs=[aspec] * len(args),
+            out_specs=[aspec] * n_out if n_out > 1 else aspec,
+            out_shape=out_shape if n_out > 1 else out_shape[0],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_vmem_limit()),
+            interpret=interpret,
+        )(*args)
+
+    @jax.custom_vjp
+    def attn(q, k, v):
+        return _call(functools.partial(_attn_core_stream_kernel,
+                                       heads=heads, scale=scale,
+                                       folded=folded, n_valid=n_valid),
+                     (q, k, v), 1)
+
+    def fwd(q, k, v):
+        o = attn(q, k, v)
+        return o, (q, k, v, o)
+
+    def bwd(res, do):
+        q, k, v, o = res
+        return tuple(_call(functools.partial(_attn_bwd_stream_kernel,
+                                             heads=heads, scale=scale,
+                                             n_valid=n_valid),
+                           (q, k, v, o, do.astype(q.dtype)), 3))
+
+    attn.defvjp(fwd, bwd)
+    return attn
+
+
+def _ft_block(x2, wq, bq, wk, bk, wv, bv, wo, bo, g1, bb1, g2, bb2,
+              w1, b1, w2, b2, *, heads: int, eps: float,
+              quick_gelu: bool, attn_fn):
+    """One encoder block on the flattened 2-D stream with the
+    differentiable Pallas attention core — :func:`_reference_block`'s
+    exact math with the (B, N, heads, dh) reshapes replaced by column
+    slicing inside the core (heads partition D, so flattening is
+    algebraically the identity)."""
+    dtype = x2.dtype
+    y = _ln_f32(x2.astype(jnp.float32), g1.astype(jnp.float32),
+                bb1.astype(jnp.float32), eps).astype(dtype)
+    q = y @ wq.astype(dtype) + bq.astype(dtype)
+    k = y @ wk.astype(dtype) + bk.astype(dtype)
+    v = y @ wv.astype(dtype) + bv.astype(dtype)
+    ctx = attn_fn(q, k, v)
+    x2 = x2 + ctx @ wo.astype(dtype) + bo.astype(dtype)
+    y = _ln_f32(x2.astype(jnp.float32), g2.astype(jnp.float32),
+                bb2.astype(jnp.float32), eps).astype(dtype)
+    h = y @ w1.astype(dtype) + b1.astype(dtype)
+    h = _gelu_exact_or_quick(h, quick_gelu, jax.lax.erf)
+    return x2 + h @ w2.astype(dtype) + b2.astype(dtype)
+
+
+def _ft_cls_stack(x, w_flat, *, heads: int, eps: float, quick_gelu: bool,
+                  interpret: bool, attn_folded: bool, remat: bool):
+    """The encoder stack on the differentiable ft stream, returning
+    pre-ln_final CLS rows — the differentiation target the fused stack's
+    custom-VJP fwd rule runs under ``jax.grad``.
+
+    ``remat=True`` checkpoints each block (``jax.checkpoint``): AD then
+    saves only the 24 block-input streams (~3.3 GB at the ViT-L/14
+    fine-tuning shape) instead of every intermediate, and each block's
+    forward — including the attention core kernel — reruns once inside
+    the backward.  Pad rows: zero-padded into the stream once, zeroed by
+    every attention core (fwd and bwd kernels), row-local everywhere
+    else, dropped by the CLS gather — so no pad value ever reaches a
+    real row or a weight gradient."""
+    b_, n_, d_ = x.shape
+    n8 = -(-n_ // 8) * 8
+    if n8 != n_:
+        x = jnp.pad(x, ((0, 0), (0, n8 - n_), (0, 0)))
+    x2 = x.reshape(b_ * n8, d_)
+    scale = 1.0 / math.sqrt(d_ // heads)
+    attn_fn = _make_diff_attn(heads, scale, n8, n_, attn_folded,
+                              interpret)
+
+    def step(x2, w16):
+        return _ft_block(x2, *w16, heads=heads, eps=eps,
+                         quick_gelu=quick_gelu, attn_fn=attn_fn)
+
+    if remat:
+        step = jax.checkpoint(step)
+    for blk in range(0, len(w_flat), 16):
+        x2 = step(x2, w_flat[blk:blk + 16])
+    return x2.reshape(b_, n8, d_)[:, 0, :]
+
+
 # ------------------------------------------------- reference (jnp) math
 
 
@@ -478,7 +669,7 @@ def _reference_cls_stack(x, w_flat, *, heads: int, eps: float,
 
 @functools.lru_cache(maxsize=None)
 def _make_fused_stack(heads: int, eps: float, quick_gelu: bool,
-                      interpret: bool, attn_folded: bool):
+                      interpret: bool, attn_folded: bool, remat: bool):
     @jax.custom_vjp
     def fused(x, *w_flat):
         return _fused_stack_impl(x, w_flat, heads=heads, eps=eps,
@@ -487,9 +678,17 @@ def _make_fused_stack(heads: int, eps: float, quick_gelu: bool,
                                  attn_folded=attn_folded)
 
     def fwd(x, *w_flat):
+        # Differentiated calls (--train_backbone fine-tuning) run the ft
+        # stream: jnp LN/QKV/MLP on the 2-D token stream (XLA AD emits
+        # clean dgrad/wgrad matmuls there) + the flash-style Pallas
+        # attention core fwd/bwd kernels.  Chip-measured vs XLA AD over
+        # the 3-D reference math: see PERF.md "fine-tuning".
         out, vjp = jax.vjp(
-            lambda x, *w: _reference_cls_stack(x, w, heads=heads, eps=eps,
-                                               quick_gelu=quick_gelu),
+            lambda x, *w: _ft_cls_stack(x, w, heads=heads, eps=eps,
+                                        quick_gelu=quick_gelu,
+                                        interpret=interpret,
+                                        attn_folded=attn_folded,
+                                        remat=remat),
             x, *w_flat)
         return out, vjp
 
@@ -503,7 +702,8 @@ def _make_fused_stack(heads: int, eps: float, quick_gelu: bool,
 def fused_encoder_cls_stack(x, block_weights, *, heads: int, eps: float,
                             quick_gelu: bool = False,
                             interpret: bool = False,
-                            attn_core: str | None = None):
+                            attn_core: str | None = None,
+                            remat: bool = False):
     """The FULL encoder stack through the fused kernels in one flattened
     8-row-aligned token domain, returning the pre-ln_final CLS features
     ``(B, D)``.
@@ -511,8 +711,10 @@ def fused_encoder_cls_stack(x, block_weights, *, heads: int, eps: float,
     ``block_weights``: sequence of per-block 16-tuples in
     :func:`fused_encoder_block` argument order.  Motivation and layout
     invariants in :func:`_fused_stack_impl`; chip numbers in PERF.md
-    ("r8: the stream stack").  Same VJP contract as the per-block entry:
-    differentiated calls run XLA AD over the jnp reference stack.
+    ("r8: the stream stack").  VJP contract: differentiated calls run
+    the ft stream (:func:`_ft_cls_stack` — jnp 2-D stream math + the
+    flash-style Pallas attention fwd/bwd kernels); ``remat=True``
+    checkpoints each block there (``--remat_backbone``).
     """
     if attn_core is None:
         attn_core = _attn_core_variant()
@@ -521,7 +723,8 @@ def fused_encoder_cls_stack(x, block_weights, *, heads: int, eps: float,
         raise ValueError("block_weights must be 16-tuples "
                          f"(got {len(flat)} arrays)")
     return _make_fused_stack(heads, float(eps), bool(quick_gelu),
-                             bool(interpret), attn_core == "exp2")(x, *flat)
+                             bool(interpret), attn_core == "exp2",
+                             bool(remat))(x, *flat)
 
 
 def _attn_core_variant() -> str:

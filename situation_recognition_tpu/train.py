@@ -193,10 +193,11 @@ class TrainerConfig:
     # head+backbone gradients (what torch clip_grad_norm_ over all
     # optimizer params would do) and Adamax on both subtrees.  The gt noun
     # branch stays hoisted outside the grad closure (logged-only loss,
-    # sr.py:76), so the fused GGNN kernel still engages there; fused ViT
-    # backbone kernels route differentiated calls to XLA AD by their
-    # custom-VJP contract (ops/vit_pallas.py), so ViT fine-tuning runs the
-    # reference jnp math.  Memory: backward-pass activations scale with
+    # sr.py:76), so the fused GGNN kernel still engages there; the fused
+    # ViT stream's custom-VJP routes differentiated calls to the ft
+    # stream (ops/vit_pallas.py::_ft_cls_stack — jnp 2-D stream math +
+    # flash-style Pallas attention fwd/bwd kernels; chip numbers in
+    # PERF.md "fine-tuning").  Memory: backward-pass activations scale with
     # the microbatch — combine ``grad_accum`` (smaller microbatches) and
     # ``remat_backbone`` (block-boundary activations only) for flagship
     # widths.

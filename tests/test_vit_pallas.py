@@ -213,7 +213,7 @@ def test_vit_module_fused_trace_count(monkeypatch):
     assert len(stack_calls) == 0, (
         f"{len(stack_calls)} stack primals traced under jax.grad; the "
         "custom_vjp fwd rule must route every differentiated call to the "
-        "reference math")
+        "ft stream (or, per-block, the reference math)")
 
     # per-block escape hatch: depth primals, no stack
     monkeypatch.setenv("SRTPU_VIT_STREAM", "0")
@@ -359,35 +359,155 @@ def test_stream_stack_matches_reference_interpret():
         assert diff <= 0.03 * max(scale, 1.0), (core, diff, scale)
 
 
+# ----------------------------------------- ft (fine-tuning) stream (r9)
+
+
+def _rel(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    return np.abs(a - b).max() / max(np.abs(b).max(), 1e-6)
+
+
+def test_diff_attn_grads_match_reference_interpret():
+    """The differentiable attention core's flash-style Pallas backward
+    (recompute scores in VMEM; dv = p^T do, ds = p(dp - rowsum(do*o)),
+    dq = ds k, dk = ds^T q) vs XLA AD over the same per-head softmax
+    math, including pad-row zeroing (n_valid=13 < n8=16).  bf16-class
+    agreement (the kernel casts e/ds to bf16 for the MXU dots)."""
+    import math
+
+    from situation_recognition_tpu.ops.vit_pallas import _make_diff_attn
+
+    b, n8, nv, d, heads = 2, 16, 13, 128, 2
+    dh = d // heads
+    scale = 1.0 / math.sqrt(dh)
+    rng = np.random.default_rng(11)
+    q, k, v = (jnp.asarray(rng.standard_normal((b * n8, d)), jnp.bfloat16)
+               for _ in range(3))
+
+    def ref(q, k, v):
+        q3 = q.reshape(b, n8, d)[:, :nv]
+        k3 = k.reshape(b, n8, d)[:, :nv]
+        v3 = v.reshape(b, n8, d)[:, :nv]
+        outs = []
+        for h in range(heads):
+            sl = slice(h * dh, (h + 1) * dh)
+            s = jnp.einsum("bqd,bkd->bqk", q3[..., sl],
+                           k3[..., sl]).astype(jnp.float32)
+            p = jax.nn.softmax(s * scale, axis=-1).astype(q.dtype)
+            outs.append(jnp.einsum("bqk,bkd->bqd", p, v3[..., sl]))
+        o = jnp.concatenate(outs, -1)
+        return jnp.pad(o, ((0, 0), (0, n8 - nv), (0, 0))).reshape(b * n8, d)
+
+    for folded in (False, True):
+        attn = _make_diff_attn(heads, scale, n8, nv, folded, True)
+        # a fixed cotangent through a nonlinear loss exercises dp/delta
+        loss_k = lambda q, k, v: jnp.sum(  # noqa: E731
+            attn(q, k, v).astype(jnp.float32) ** 2)
+        loss_r = lambda q, k, v: jnp.sum(  # noqa: E731
+            ref(q, k, v).astype(jnp.float32) ** 2)
+        ok = np.asarray(attn(q, k, v), np.float32)
+        orf = np.asarray(ref(q, k, v), np.float32)
+        assert _rel(ok, orf) <= 0.03, (folded, _rel(ok, orf))
+        gk = jax.grad(loss_k, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss_r, argnums=(0, 1, 2))(q, k, v)
+        for name, a, bb in zip("qkv", gk, gr):
+            assert _rel(a, bb) <= 0.05, (folded, name, _rel(a, bb))
+            # pad-row gradients must be exact zeros (they feed the jnp
+            # QKV wgrads upstream)
+            pads = np.asarray(a, np.float32).reshape(b, n8, d)[:, nv:]
+            assert np.all(pads == 0), (folded, name)
+
+
 @pytest.mark.slow
-def test_stream_stack_grad_routes_to_reference():
-    """Differentiating the stream stack runs XLA AD over the jnp
-    reference stack (same custom-VJP contract as the per-block entry)."""
+def test_ft_stream_grads_match_reference_interpret():
+    """Differentiating the stream stack runs the ft stream (jnp 2-D
+    stream math + the Pallas attention fwd/bwd kernels).  Grads wrt x
+    and every weight match XLA AD over the jnp reference stack at the
+    bf16-class bound — except bk (the key-projection bias), whose true
+    gradient is EXACTLY ZERO: a key bias shifts each score row by a
+    per-query constant, which softmax is invariant to, so both sides
+    compute only cancellation noise and are compared absolutely.
+    remat=True (per-block jax.checkpoint) must be bit-identical to
+    remat=False."""
     from situation_recognition_tpu.ops.vit_pallas import (
         _reference_cls_stack, fused_encoder_cls_stack)
 
     p1, x = _params_and_x(seed=7)
-    w = [_args(p1)]
-    flat = w[0]
+    p2, _ = _params_and_x(seed=8)
+    w = [_args(p1), _args(p2)]
+    flat = tuple(a for blk in w for a in blk)
+    names = ["wq", "bq", "wk", "bk", "wv", "bv", "wo", "bo", "g1", "bb1",
+             "g2", "bb2", "w1", "b1", "w2", "b2"]
 
-    def loss_fused(x, wq):
-        blk = (wq,) + w[0][1:]
+    def loss_fused(x, flat, remat):
+        blocks = [flat[i * 16:(i + 1) * 16] for i in range(len(w))]
         return jnp.sum(fused_encoder_cls_stack(
-            x, [blk], heads=HEADS, eps=1e-6, interpret=False
-        ).astype(jnp.float32))
+            x, blocks, heads=HEADS, eps=1e-6, interpret=True, remat=remat
+        ).astype(jnp.float32) ** 2)
 
-    def loss_ref(x, wq):
-        blk = (wq,) + flat[1:]
+    def loss_ref(x, flat):
         return jnp.sum(_reference_cls_stack(
-            x, blk, heads=HEADS, eps=1e-6, quick_gelu=False
+            x, flat, heads=HEADS, eps=1e-6, quick_gelu=False
+        ).astype(jnp.float32) ** 2)
+
+    gx_f, gw_f = jax.grad(loss_fused, argnums=(0, 1))(x, flat, False)
+    gx_m, gw_m = jax.grad(loss_fused, argnums=(0, 1))(x, flat, True)
+    gx_r, gw_r = jax.grad(loss_ref, argnums=(0, 1))(x, flat)
+
+    assert _rel(gx_f, gx_r) <= 0.03, _rel(gx_f, gx_r)
+    # the overall gradient scale, for the bk absolute bound
+    gscale = max(np.abs(np.asarray(g, np.float64)).max() for g in gw_r)
+    for i, (a, b) in enumerate(zip(gw_f, gw_r)):
+        name = names[i % 16]
+        if name == "bk":
+            for g in (a, b):
+                assert np.abs(np.asarray(g, np.float64)).max() <= (
+                    1e-2 * gscale), (i // 16, name)
+        else:
+            # 0.08: bf16-class over two chained blocks and a squared
+            # loss (a structural bug reads ~1.0+, cf. the bk analysis)
+            assert _rel(a, b) <= 0.08, (i // 16, name, _rel(a, b))
+    # per-block checkpointing recomputes the identical primal: bitwise
+    np.testing.assert_array_equal(np.asarray(gx_f, np.float32),
+                                  np.asarray(gx_m, np.float32))
+    for a, b in zip(gw_f, gw_m):
+        np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                      np.asarray(b, np.float32))
+
+
+def test_ft_stream_engages_under_grad(monkeypatch):
+    """STRUCTURAL: differentiating the stream stack traces the ft stream
+    (and not the reference stack) — the fine-tuning routing contract."""
+    import situation_recognition_tpu.ops.vit_pallas as vp
+
+    p1, x = _params_and_x(seed=12)
+    w = [_args(p1)]
+    ft_calls, ref_calls = [], []
+    orig_ft, orig_ref = vp._ft_cls_stack, vp._reference_cls_stack
+
+    def counting_ft(*a, **k):
+        ft_calls.append(1)
+        return orig_ft(*a, **k)
+
+    def counting_ref(*a, **k):
+        ref_calls.append(1)
+        return orig_ref(*a, **k)
+
+    monkeypatch.setattr(vp, "_ft_cls_stack", counting_ft)
+    monkeypatch.setattr(vp, "_reference_cls_stack", counting_ref)
+    vp._make_fused_stack.cache_clear()
+
+    def loss(x):
+        return jnp.sum(vp.fused_encoder_cls_stack(
+            x, w, heads=HEADS, eps=1e-6, interpret=True
         ).astype(jnp.float32))
 
-    gx_f, gw_f = jax.grad(loss_fused, argnums=(0, 1))(x, p1["wq"])
-    gx_r, gw_r = jax.grad(loss_ref, argnums=(0, 1))(x, p1["wq"])
-    np.testing.assert_array_equal(np.asarray(gx_f, np.float32),
-                                  np.asarray(gx_r, np.float32))
-    np.testing.assert_array_equal(np.asarray(gw_f, np.float32),
-                                  np.asarray(gw_r, np.float32))
+    jax.grad(loss)(x)
+    assert (len(ft_calls), len(ref_calls)) == (1, 0), (
+        f"ft {len(ft_calls)} / reference {len(ref_calls)} primals traced "
+        "under jax.grad; the fwd rule must run the ft stream")
+    vp._make_fused_stack.cache_clear()   # drop the patched closures
 
 
 @pytest.mark.slow
