@@ -48,18 +48,22 @@ def bench_batch_backbone(on_tpu: bool):
     return batch, backbone
 
 
-def _claim_watchdog(timeout_s: float, metric: str | None = None):
-    """Guard the TPU device claim with a hard deadline.
+def _claim_watchdog(timeout_s: float, metric: str | None = None,
+                    what: str = "device claim"):
+    """Guard a wedgeable phase with a hard deadline.
 
-    The axon tunnel's pool claim can wedge indefinitely on the remote
-    side (observed 2026-08-17/18: ``jax.devices()`` never returns, and
-    the plugin's ``claim_timeout_s`` is not honored through the
-    loopback relay).  A bench that hangs forever is worse than one that
-    reports failure — if the first device call hasn't completed within
-    ``timeout_s``, print an error JSON line (same one-line contract)
-    and exit hard.  Disarmed by ``set()`` on the returned event; the
-    deadline is generous (default 600 s vs the normal few-second claim)
-    so it can only fire on a genuinely dead tunnel."""
+    The axon tunnel can wedge indefinitely on the remote side in two
+    places: the pool claim (observed 2026-08-17/18: ``jax.devices()``
+    never returns, and the plugin's ``claim_timeout_s`` is not honored
+    through the loopback relay) and the remote compiler (observed
+    2026-08-20: the claim succeeds, then the step's lower+compile makes
+    no progress for 12+ minutes).  A bench that hangs forever is worse
+    than one that reports failure — if the guarded phase hasn't
+    completed within ``timeout_s``, print an error JSON line (same
+    one-line contract) and exit hard.  Disarmed by ``set()`` on the
+    returned event; the deadlines are generous (default 600 s for the
+    few-second claim, 1800 s for compile+warmup) so they can only fire
+    on a genuinely dead tunnel."""
     import threading
 
     ok = threading.Event()
@@ -74,13 +78,109 @@ def _claim_watchdog(timeout_s: float, metric: str | None = None):
                 "metric": metric,
                 "value": None,
                 "unit": "img/s/chip",
-                "error": (f"device claim did not complete within "
+                "error": (f"{what} did not complete within "
                           f"{timeout_s:.0f}s (wedged TPU tunnel?)"),
             }), flush=True)
             os._exit(2)
 
     threading.Thread(target=watch, daemon=True).start()
     return ok
+
+
+# ------------------------------------------------- pallas FLOP accounting
+#
+# XLA's cost_analysis() reports flops=0 for Mosaic custom calls, so any
+# step routing work through the fused Pallas kernels under-reports MFU —
+# by ~2 points on the ResNet train step (one GGNN propagate) and by
+# nearly the whole backbone on ViT runs (every encoder block is a custom
+# call; PERF.md's "~67% true MFU" was hand-computed around exactly this
+# hole).  The counters below mirror the kernels' ACTUAL matmul
+# structure — padded row counts included, matching cost_analysis's
+# performed-FLOPs semantics — and are accumulated by counting wrappers
+# installed ONLY around the single .lower() trace, so the supplement
+# reflects exactly the kernel calls the compiled module contains
+# (gating/fallback paths never reach the wrapped primals and count 0).
+# "bytes accessed" is NOT supplemented: XLA prices custom-call operand/
+# output buffers itself, so the HBM figure has no equivalent hole.
+
+
+def ggnn_kernel_flops(b: int, r: int, d: int, steps: int) -> float:
+    """FLOPs of one fused GGNN propagate call (ops/ggnn_pallas.py
+    _folded_kernel): per step per (bm, d) block, one (bm,bm)@(bm,d)
+    adjacency matmul + gate matmuls (d,3d) + (d,2d) + (d,d)."""
+    import situation_recognition_tpu.ops.ggnn_pallas as gp
+
+    m = b * r
+    bm = gp._pick_bm(m, r, d)
+    m_pad = -(-m // bm) * bm
+    return float(steps) * (2.0 * m_pad * bm * d + 12.0 * m_pad * d * d)
+
+
+def vit_stream_flops(b: int, n: int, d: int, hid: int,
+                     blocks: int) -> float:
+    """FLOPs of one fused ViT stream-stack call (ops/vit_pallas.py
+    _fused_stack_impl): per block, QKV (3) + out-proj (1) matmuls on the
+    padded (B*n8, d) stream, fc1/fc2 against hid, and the attention
+    core's two (n, dh)x(n, dh) dots per head on the n VALID rows."""
+    n8 = -(-n // 8) * 8
+    m = b * n8
+    per_block = (8.0 * m * d * d + 4.0 * m * d * hid
+                 + 4.0 * b * n * n * d)
+    return blocks * per_block
+
+
+def vit_ft_attn_flops(b: int, n: int, d: int, blocks: int,
+                      remat: bool) -> float:
+    """FLOPs of the ft stream's Pallas attention custom calls for one
+    _ft_cls_stack trace under jax.grad (ops/vit_pallas.py): forward core
+    2 dots (scores + context) = 4*b*n^2*d per block — run TWICE under
+    per-block jax.checkpoint (recomputed inside the backward) — plus the
+    flash-style backward kernel's 5 dots (scores recompute, dv, dp, dq,
+    dk) = 10*b*n^2*d.  The stream's LN/QKV/MLP are plain jnp and already
+    priced by cost_analysis."""
+    fwd = 4.0 * b * n * n * d
+    bwd = 10.0 * b * n * n * d
+    return blocks * ((2.0 * fwd if remat else fwd) + bwd)
+
+
+def install_pallas_flop_counters():
+    """Wrap the Pallas kernel primals with FLOP accumulators.  Returns
+    (total_fn, restore_fn); call restore_fn right after .lower()."""
+    import situation_recognition_tpu.ops.ggnn_pallas as gp
+    import situation_recognition_tpu.ops.vit_pallas as vp
+
+    total = [0.0]
+    orig_g = gp._propagate_fwd_impl
+    orig_s = vp._fused_stack_impl
+    orig_ft = vp._ft_cls_stack
+
+    def counting_ggnn(params, hidden, mask, num_steps, interpret):
+        b, r, d = hidden.shape
+        total[0] += ggnn_kernel_flops(b, r, d, num_steps)
+        return orig_g(params, hidden, mask, num_steps, interpret)
+
+    def counting_stack(x, w_flat, **kw):
+        b, n, d = x.shape
+        hid = w_flat[12].shape[-1]          # w1 of block 0 is (d, hid)
+        total[0] += vit_stream_flops(b, n, d, hid, len(w_flat) // 16)
+        return orig_s(x, w_flat, **kw)
+
+    def counting_ft(x, w_flat, **kw):
+        b, n, d = x.shape
+        total[0] += vit_ft_attn_flops(b, n, d, len(w_flat) // 16,
+                                      bool(kw.get("remat", False)))
+        return orig_ft(x, w_flat, **kw)
+
+    gp._propagate_fwd_impl = counting_ggnn
+    vp._fused_stack_impl = counting_stack
+    vp._ft_cls_stack = counting_ft
+
+    def restore():
+        gp._propagate_fwd_impl = orig_g
+        vp._fused_stack_impl = orig_s
+        vp._ft_cls_stack = orig_ft
+
+    return (lambda: total[0]), restore
 
 
 def main():
@@ -157,6 +257,15 @@ def main():
     arrays = {k: jax.device_put(v, trainer._bsh) for k, v in arrays.items()}
     valid = jax.device_put(valid, trainer._bsh)
 
+    # second deadline: the remote compiler (and the serving export path)
+    # can wedge after a successful claim — same one-JSON-line contract.
+    # Disarmed once the first timed iteration's output reaches the host.
+    compile_ok = _claim_watchdog(
+        float(os.environ.get(
+            "BENCH_COMPILE_TIMEOUT",
+            "3600" if mode == "serving" else "1800")),
+        what="compile+warmup")
+
     if mode == "serving":
         import tempfile
 
@@ -184,6 +293,7 @@ def main():
             float(np.asarray(out[1])[0])
             gt = fn.gt(imgs, verbs)
             float(np.asarray(gt)[0, 0, 0])
+        compile_ok.set()
         t0 = time.perf_counter()
         for _ in range(steps):
             out = fn(imgs)
@@ -232,6 +342,7 @@ def main():
     # .lower().compile() after a jit-warmed loop would compile the
     # identical step a SECOND time (the AOT path bypasses the jit cache),
     # roughly doubling bench wall time on the serialized remote compiler
+    pallas_flops, _restore_counters = install_pallas_flop_counters()
     if mode == "eval":
         compiled = trainer._eval_step.lower(
             trainer.head_params, trainer.backbone_params,
@@ -279,12 +390,15 @@ def main():
              losses, topk) = out
             return losses
 
+    _restore_counters()
+
     # warmup/compile; synchronize via host transfer (block_until_ready does
     # not reliably wait through the remote TPU tunnel)
     losses = step(0)
     float(losses[0])
     losses = step(1)
     float(losses[0])
+    compile_ok.set()
 
     t0 = time.perf_counter()
     for i in range(2, 2 + steps):
@@ -317,9 +431,17 @@ def main():
             # module's flops/bytes — verified empirically — so per-device
             # cost / per-device time / per-chip peak needs NO further
             # division by n_dev (dividing again understated MFU n_dev-fold
-            # on multi-chip runs)
+            # on multi-chip runs).  Custom-call (Pallas kernel) FLOPs are
+            # invisible to cost_analysis and added back from the analytic
+            # counters; the traced shapes are GLOBAL, so the supplement is
+            # divided per-device to match.
             peak_f, peak_b = peaks[gen]
-            mfu = float(cost["flops"]) / (step_ms / 1e3) / peak_f
+            kf = pallas_flops() / n_dev
+            if kf:
+                print(f"[bench] + {kf/1e9:.1f} GFLOP/step inside pallas "
+                      "custom calls (cost_analysis-invisible, counted "
+                      "analytically)", file=sys.stderr)
+            mfu = (float(cost["flops"]) + kf) / (step_ms / 1e3) / peak_f
             if cost.get("bytes accessed"):
                 hbm_util = (float(cost["bytes accessed"])
                             / (step_ms / 1e3) / peak_b)

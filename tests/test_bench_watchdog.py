@@ -27,6 +27,23 @@ def test_watchdog_fires_with_error_json():
         assert out["metric"] == f"{mode}_images_per_sec_per_chip"
 
 
+def test_compile_watchdog_names_its_phase():
+    # the second deadline (remote compiler wedge, observed 2026-08-20:
+    # claim succeeds, then lower+compile makes no progress) reuses the
+    # same helper with what="compile+warmup" — the error line must name
+    # the phase so a driver log distinguishes the two wedge modes
+    code = (
+        "import sys, time; sys.path.insert(0, %r); "
+        "import bench; bench._claim_watchdog(0.3, what='compile+warmup'); "
+        "time.sleep(30)" % REPO)
+    proc = subprocess.run([sys.executable, "-c", code],
+                          capture_output=True, text=True, timeout=60)
+    assert proc.returncode == 2, (proc.returncode, proc.stderr)
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out["value"] is None
+    assert "compile+warmup did not complete" in out["error"]
+
+
 def test_watchdog_disarms_on_claim():
     code = (
         "import sys, time; sys.path.insert(0, %r); "
