@@ -32,12 +32,30 @@ def test_ggnn_kernel_flops_hand_count():
 
 
 def test_vit_stream_flops_hand_count():
-    # b=4, n=257 -> n8=264; blocks=2, hid=4d
+    # b=4, n=257 -> n8=264, m=4*264=1056; the qkv/mlp matmuls run over
+    # the stream rows rounded up to the bm=min(m,256)=256 tile ->
+    # mp=1280 (ADVICE r2 #2); attention core stays on the n VALID rows
     b, n, d, hid, blocks = 4, 257, 128, 512, 2
-    m = b * 264
-    per_block = 8 * m * d * d + 4 * m * d * hid + 4 * b * n * n * d
+    mp = 1280
+    per_block = 8 * mp * d * d + 4 * mp * d * hid + 4 * b * n * n * d
     assert bench.vit_stream_flops(b, n, d, hid, blocks) == float(
         blocks * per_block)
+    # exact at the flagship bench shape: b=256, n=257 -> m=256*264=67584
+    # is already a multiple of 256, so the rounding is a no-op there
+    m = 256 * 264
+    assert m % 256 == 0
+    flag = bench.vit_stream_flops(256, 257, 1024, 4096, 1)
+    assert flag == float(8 * m * 1024 * 1024 + 4 * m * 1024 * 4096
+                         + 4 * 256 * 257 * 257 * 1024)
+
+
+def test_vit_block_flops_hand_count():
+    # per-block kernel pads the FLAT stream (no n8 rounding):
+    # b=4, n=257 -> m=1028, bm=256, mp=ceil(1028/256)*256=1280
+    b, n, d, hid = 4, 257, 128, 512
+    mp = 1280
+    assert bench.vit_block_flops(b, n, d, hid) == float(
+        8 * mp * d * d + 4 * mp * d * hid + 4 * b * n * n * d)
 
 
 def test_vit_ft_attn_flops_remat_doubles_forward():
@@ -66,8 +84,13 @@ def test_counters_accumulate_and_restore(monkeypatch):
         calls.append("f")
         return x[:, 0, :]
 
+    def stub_block(x, *w, **kw):
+        calls.append("b")
+        return x
+
     monkeypatch.setattr(gp, "_propagate_fwd_impl", stub_ggnn)
     monkeypatch.setattr(vp, "_fused_stack_impl", stub_stack)
+    monkeypatch.setattr(vp, "_fused_impl", stub_block)
     monkeypatch.setattr(vp, "_ft_cls_stack", stub_ft)
 
     total, restore = bench.install_pallas_flop_counters()
@@ -89,9 +112,15 @@ def test_counters_accumulate_and_restore(monkeypatch):
         vp._ft_cls_stack(x, w_flat, remat=True)
         expect += bench.vit_ft_attn_flops(4, 257, d, 1, remat=True)
         assert total() == expect
-        assert calls == ["g", "s", "f"]
+
+        # per-block fallback path is counted too (ADVICE r2 #1)
+        vp._fused_impl(x, *w_flat, heads=4)
+        expect += bench.vit_block_flops(4, 257, d, hid)
+        assert total() == expect
+        assert calls == ["g", "s", "f", "b"]
     finally:
         restore()
     assert gp._propagate_fwd_impl is stub_ggnn
     assert vp._fused_stack_impl is stub_stack
+    assert vp._fused_impl is stub_block
     assert vp._ft_cls_stack is stub_ft

@@ -93,6 +93,73 @@ def test_pallas_grad_matches_masked_grad():
                                    rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize("steps", [1, 4])
+def test_pallas_backward_kernel_matches_ad(monkeypatch, steps):
+    """SRTPU_GGNN_BWD=pallas routes differentiated calls through the
+    residual-saving forward + hand-written backward kernel
+    (ops/ggnn_pallas.py _folded_kernel_res/_folded_kernel_bwd).  The
+    kernel stores its residuals in bf16 — gradients agree with XLA AD
+    over the masked-sum math to bf16-class tolerance, for both params
+    and hidden, through a nonlinear reduction."""
+    monkeypatch.setenv("SRTPU_GGNN_BWD", "pallas")
+    from situation_recognition_tpu.ops.ggnn_pallas import (
+        train_kernel_supported)
+
+    params, h, mask = _setup(d=256, B=24, R=6, seed=3)
+    assert train_kernel_supported(256, 6, steps)
+
+    def loss_pallas(p, hh):
+        return jnp.sum(jnp.sin(ggnn_propagate_pallas(p, hh, mask,
+                                                     steps, True)))
+
+    def loss_masked(p, hh):
+        return jnp.sum(jnp.sin(ggnn_propagate(p, hh, mask, steps)))
+
+    gk = jax.grad(loss_pallas, argnums=(0, 1))(params, h)
+    gm = jax.grad(loss_masked, argnums=(0, 1))(params, h)
+    for a, b in zip(jax.tree.leaves(gk), jax.tree.leaves(gm)):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        scale = np.max(np.abs(b)) + 1e-9
+        assert np.max(np.abs(a - b)) / scale < 2e-2, (
+            np.max(np.abs(a - b)) / scale)
+
+
+def test_pallas_backward_kernel_verb_branch(monkeypatch):
+    """The verb branch differentiates single-node graphs (R=1, mask 0 →
+    E = I): the backward kernel must agree there too (exercises the
+    r=1 min-block/lcm padding path)."""
+    monkeypatch.setenv("SRTPU_GGNN_BWD", "pallas")
+    params, h, _ = _setup(d=256, B=160, R=1, seed=4)
+    mask = jnp.zeros((160, 1), jnp.float32)
+
+    def loss(p, hh):
+        return jnp.sum(jnp.sin(ggnn_propagate_pallas(p, hh, mask, 4, True)))
+
+    def loss_ref(p, hh):
+        return jnp.sum(jnp.sin(ggnn_propagate(p, hh, mask, 4)))
+
+    gk = jax.grad(loss, argnums=(0, 1))(params, h)
+    gm = jax.grad(loss_ref, argnums=(0, 1))(params, h)
+    for a, b in zip(jax.tree.leaves(gk), jax.tree.leaves(gm)):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        scale = np.max(np.abs(b)) + 1e-9
+        assert np.max(np.abs(a - b)) / scale < 2e-2
+
+
+def test_pallas_backward_env_default_is_xla(monkeypatch):
+    """Without the env override the routing follows the measured default
+    (PERF.md r3) — resolve_ggnn_bwd() must not return 'pallas' unless
+    explicitly forced, so production numerics stay pinned."""
+    from situation_recognition_tpu.ops import ggnn_pallas as gpmod
+
+    monkeypatch.delenv("SRTPU_GGNN_BWD", raising=False)
+    assert gpmod.resolve_ggnn_bwd() in ("xla", "pallas")
+    monkeypatch.setenv("SRTPU_GGNN_BWD", "xla")
+    assert gpmod.resolve_ggnn_bwd() == "xla"
+    monkeypatch.setenv("SRTPU_GGNN_BWD", "pallas")
+    assert gpmod.resolve_ggnn_bwd() == "pallas"
+
+
 @pytest.mark.parametrize("R,masks", [
     (2, "random"), (3, "random"), (5, "random"),
     (6, "zeros"),   # every node self-messages (the verb-branch encoding)
