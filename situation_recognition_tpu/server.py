@@ -21,6 +21,15 @@ TPU dispatch amortizes over many concurrent single-image requests.
   sr.py:249-251, including its "given verb gets probability 1" contract).
   ``GET /healthz`` / ``GET /stats`` / ``GET /meta`` for ops.
 
+Production posture (round 3): admission is BOUNDED — each entry queue
+holds at most ``max_queue`` pending requests and overload is rejected
+with 429/:class:`BatcherSaturated` at submit time, so daemon memory
+stays O(max_queue) windows under any offered load; ``/stats`` reports
+live queue depth and a sliding-window latency histogram (p50/p95/p99/max
+ms per entry); ``POST /admin/reload`` (opt-in ``allow_reload=True``)
+hot-swaps the served artifact between dispatches without dropping
+in-flight requests.
+
 The HTTP responses use the STANDARD label-axis softmax for probabilities.
 The reference CLI's role-axis softmax quirk (sr.py:264) is faithfully kept
 in ``inference.py`` where CLI parity demands it; a serving API is new
@@ -44,6 +53,13 @@ from typing import Callable, Optional
 import numpy as np
 
 
+class BatcherSaturated(RuntimeError):
+    """Raised by submit when the bounded request queue is full — the
+    backpressure signal (HTTP face maps it to 429).  Rejecting at admission
+    keeps daemon memory bounded under overload instead of growing an
+    unbounded queue of pinned image arrays."""
+
+
 class DynamicBatcher:
     """Coalesce concurrent single-example requests into batched dispatches.
 
@@ -56,23 +72,34 @@ class DynamicBatcher:
     company before dispatching — the latency price of batching; 0 works
     (dispatch whatever is queued RIGHT NOW, still coalescing true
     concurrency).
+    ``max_queue``: admission bound per entry queue; a submit beyond it
+    raises :class:`BatcherSaturated` (429 at the HTTP face).  Bounds the
+    daemon's memory at ~``max_queue`` pinned windows (196 KB each) per
+    entry no matter the offered load.
     """
 
+    _LATENCY_WINDOW = 1024      # ring of most-recent per-request latencies
+
     def __init__(self, fn: Callable, max_batch: Optional[int] = None,
-                 max_wait_ms: float = 5.0):
+                 max_wait_ms: float = 5.0, max_queue: int = 256):
         self._fn = fn
         self._max_batch = int(max_batch or getattr(fn, "batch_size", 0) or 32)
         if self._max_batch < 1:
             raise ValueError(f"max_batch must be >= 1, got {self._max_batch}")
+        if max_queue < 1:
+            raise ValueError(f"max_queue must be >= 1, got {max_queue}")
         self._max_wait_s = float(max_wait_ms) / 1e3
+        self.max_queue = int(max_queue)
         self._lock = threading.Lock()
-        self.stats = {"requests": 0, "dispatches": 0, "batched_examples": 0,
-                      "max_batch_seen": 0}
-        self._queues = {"argmax": queue.Queue()}
+        self.stats = {"requests": 0, "rejected": 0, "dispatches": 0,
+                      "batched_examples": 0, "max_batch_seen": 0}
+        self._queues = {"argmax": queue.Queue(maxsize=self.max_queue)}
+        self._latency = {"argmax": _LatencyRing(self._LATENCY_WINDOW)}
         self._threads = []
         gt = getattr(fn, "gt", None)
         if gt is not None:
-            self._queues["gt"] = queue.Queue()
+            self._queues["gt"] = queue.Queue(maxsize=self.max_queue)
+            self._latency["gt"] = _LatencyRing(self._LATENCY_WINDOW)
         self._closed = False
         for kind in self._queues:
             t = threading.Thread(target=self._dispatch_loop, args=(kind,),
@@ -108,10 +135,39 @@ class DynamicBatcher:
         if self._closed:
             raise RuntimeError("batcher is closed")
         fut: Future = Future()
+        try:
+            self._queues[kind].put_nowait((payload, fut, _now()))
+        except queue.Full:
+            with self._lock:
+                self.stats["rejected"] += 1
+            raise BatcherSaturated(
+                f"{kind} queue full ({self.max_queue} pending); retry "
+                f"later") from None
         with self._lock:
             self.stats["requests"] += 1
-        self._queues[kind].put((payload, fut))
         return fut
+
+    # ------------------------------------------------------------- admin
+
+    def swap_fn(self, fn: Callable) -> None:
+        """Hot-swap the served artifact.  In-flight dispatches finish on
+        whichever fn they read; new dispatches use the new one.  The new
+        artifact must serve the same entries (a gt queue cannot appear or
+        vanish mid-flight)."""
+        if ("gt" in self._queues) != (getattr(fn, "gt", None) is not None):
+            raise ValueError(
+                "replacement artifact must have the same entries "
+                "(gt-verb) as the one it replaces")
+        self._fn = fn
+
+    def latency_stats(self) -> dict:
+        """Per-entry latency percentiles (ms, submit -> result fan-out)
+        over the most recent window of requests."""
+        return {kind: ring.summary()
+                for kind, ring in self._latency.items()}
+
+    def queue_depth(self) -> dict:
+        return {kind: q.qsize() for kind, q in self._queues.items()}
 
     # ---------------------------------------------------------- dispatch
 
@@ -144,6 +200,7 @@ class DynamicBatcher:
                 self._drain_and_serve(kind)
                 return
             batch = [first]
+            saw_sentinel = False
             deadline = _now() + self._max_wait_s
             while len(batch) < self._max_batch:
                 remaining = deadline - _now()
@@ -153,15 +210,22 @@ class DynamicBatcher:
                 except queue.Empty:
                     break
                 if item is None:
-                    q.put(None)        # re-post for the final drain check
+                    # close() raced into this window: serve the batch,
+                    # then drain.  (Not re-posted — a bounded queue can
+                    # be full, and a blocking re-post from the only
+                    # consumer would deadlock.)
+                    saw_sentinel = True
                     break
                 batch.append(item)
             self._run(kind, batch)
+            if saw_sentinel:
+                self._drain_and_serve(kind)
+                return
 
     def _run(self, kind: str, batch) -> None:
-        futs = [f for _, f in batch]
+        futs = [f for _, f, _ in batch]
         try:
-            args = tuple(np.stack([p[i] for p, _ in batch])
+            args = tuple(np.stack([p[i] for p, _, _ in batch])
                          for i in range(len(batch[0][0])))
             if kind == "argmax":
                 verb_logits, verb_ids, noun_logits = self._fn(args[0])
@@ -185,7 +249,10 @@ class DynamicBatcher:
             self.stats["batched_examples"] += len(batch)
             self.stats["max_batch_seen"] = max(self.stats["max_batch_seen"],
                                                len(batch))
-        for f, row in zip(futs, rows):
+        done = _now()
+        ring = self._latency[kind]
+        for (_, f, t0), row in zip(batch, rows):
+            ring.record((done - t0) * 1e3)
             f.set_result(row)
 
     def close(self) -> None:
@@ -208,6 +275,42 @@ def _now() -> float:
     import time
 
     return time.monotonic()
+
+
+class _LatencyRing:
+    """Bounded ring of recent request latencies (ms) + lifetime count.
+
+    A fixed-size window keeps /stats O(1)-memory under any uptime while
+    still tracking the CURRENT latency profile (a lifetime histogram
+    would freeze p95 at whatever a cold-start spike left behind)."""
+
+    def __init__(self, window: int):
+        from collections import deque
+
+        self._ring = deque(maxlen=window)
+        self._lock = threading.Lock()
+        self._count = 0
+
+    def record(self, ms: float) -> None:
+        with self._lock:
+            self._ring.append(ms)
+            self._count += 1
+
+    def summary(self) -> dict:
+        with self._lock:
+            vals = list(self._ring)
+            count = self._count
+        if not vals:
+            return {"count": 0}
+        arr = np.asarray(vals)
+        return {
+            "count": count,
+            "window": len(vals),
+            "p50_ms": round(float(np.percentile(arr, 50)), 3),
+            "p95_ms": round(float(np.percentile(arr, 95)), 3),
+            "p99_ms": round(float(np.percentile(arr, 99)), 3),
+            "max_ms": round(float(arr.max()), 3),
+        }
 
 
 # ------------------------------------------------------------------ HTTP
@@ -262,10 +365,11 @@ class _Handler:
     testable without sockets.  Returns (status, json-serializable body)."""
 
     def __init__(self, batcher: DynamicBatcher, meta: dict,
-                 timeout_s: float = 60.0):
+                 timeout_s: float = 60.0, reload_fn=None):
         self.batcher = batcher
         self.meta = meta
         self.timeout_s = timeout_s
+        self.reload_fn = reload_fn      # path -> loaded artifact, or None
         self._verb_index = {v: i for i, v in
                             enumerate(meta.get("verb_list", []))}
 
@@ -273,7 +377,10 @@ class _Handler:
         if path == "/healthz":
             return 200, {"status": "ok"}
         if path == "/stats":
-            return 200, dict(self.batcher.stats)
+            stats = dict(self.batcher.stats)
+            stats["queue_depth"] = self.batcher.queue_depth()
+            stats["latency_ms"] = self.batcher.latency_stats()
+            return 200, stats
         if path == "/meta":
             m = {k: v for k, v in self.meta.items()
                  if k not in ("verb_list", "label_list", "roles_per_verb")}
@@ -293,6 +400,9 @@ class _Handler:
 
         try:
             return self._predict_decoded(window, verb)
+        except BatcherSaturated as e:
+            # backpressure, not failure: the client should retry
+            return 429, {"error": str(e), "retry": True}
         # both spellings: cf.TimeoutError only aliases the builtin from
         # Python 3.11 — on 3.10 (supported per pyproject) they differ
         except (TimeoutError, cf.TimeoutError):
@@ -300,6 +410,32 @@ class _Handler:
                                   f"{self.timeout_s}s"}
         except Exception as e:       # noqa: BLE001 — JSON, not a dropped
             return 500, {"error": f"inference failed: {e}"}  # connection
+
+    def reload(self, body: bytes):
+        """POST /admin/reload {"artifact": <dir>} — hot-swap the served
+        artifact without dropping in-flight requests.  Disabled unless
+        serve_http(..., allow_reload=True) (an admin surface must be
+        opted into, not ambient)."""
+        if self.reload_fn is None:
+            return 403, {"error": "reload disabled (start with "
+                                  "allow_reload=True)"}
+        try:
+            req = json.loads(body or b"{}")
+            path = req["artifact"]
+        except (ValueError, KeyError):
+            return 400, {"error": 'body must be {"artifact": "<dir>"}'}
+        try:
+            fn = self.reload_fn(path)
+            self.batcher.swap_fn(fn)
+            new_meta = getattr(fn, "meta", {})
+        except Exception as e:       # noqa: BLE001 — keep serving old fn
+            return 400, {"error": f"reload failed, still serving the "
+                                  f"previous artifact: {e}"}
+        self.meta = new_meta
+        self._verb_index = {v: i for i, v in
+                            enumerate(new_meta.get("verb_list", []))}
+        return 200, {"status": "reloaded", "artifact": path,
+                     "format_version": new_meta.get("format_version")}
 
     def _predict_decoded(self, window, verb: Optional[str]):
         meta = self.meta
@@ -335,7 +471,8 @@ class _Handler:
 
 def serve_http(artifact, host: str = "127.0.0.1", port: int = 8000,
                max_wait_ms: float = 5.0, max_batch: Optional[int] = None,
-               devices=None, warmup: bool = True):
+               devices=None, warmup: bool = True, max_queue: int = 256,
+               allow_reload: bool = False):
     """Start the HTTP serving daemon; returns the ``ThreadingHTTPServer``
     (serve_forever runs on a daemon thread — call ``.shutdown()`` to stop).
 
@@ -348,6 +485,10 @@ def serve_http(artifact, host: str = "127.0.0.1", port: int = 8000,
     size, so this one call covers all request shapes — without it the
     first request pays the full XLA compile (tens of seconds on a cold
     host) and can time out its HTTP client.
+
+    ``max_queue``: per-entry admission bound; requests beyond it get 429
+    (see :class:`BatcherSaturated`).  ``allow_reload``: enable
+    ``POST /admin/reload {"artifact": dir}`` hot-swapping.
     """
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
     from urllib.parse import parse_qs, urlparse
@@ -367,8 +508,14 @@ def serve_http(artifact, host: str = "127.0.0.1", port: int = 8000,
         if gt is not None:
             np.asarray(gt(zeros, np.zeros((baked,), np.int32)))
     batcher = DynamicBatcher(fn, max_batch=max_batch,
-                             max_wait_ms=max_wait_ms)
-    logic = _Handler(batcher, meta)
+                             max_wait_ms=max_wait_ms, max_queue=max_queue)
+    reload_fn = None
+    if allow_reload:
+        from situation_recognition_tpu.serving import load_inference as _li
+
+        def reload_fn(path):
+            return _li(path, devices=devices)
+    logic = _Handler(batcher, meta, reload_fn=reload_fn)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):   # quiet: ops read /stats instead
@@ -387,11 +534,14 @@ def serve_http(artifact, host: str = "127.0.0.1", port: int = 8000,
 
         def do_POST(self):           # noqa: N802
             u = urlparse(self.path)
+            n = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(n) if n else b""
+            if u.path == "/admin/reload":
+                self._send(*logic.reload(body))
+                return
             if u.path not in ("/predict", "/v1/predict"):
                 self._send(404, {"error": f"unknown path {u.path}"})
                 return
-            n = int(self.headers.get("Content-Length", 0))
-            body = self.rfile.read(n) if n else b""
             verb = (parse_qs(u.query).get("verb") or [None])[0]
             self._send(*logic.predict(body, verb=verb))
 

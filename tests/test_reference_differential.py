@@ -40,6 +40,10 @@ import pytest
 
 pytestmark = [
     pytest.mark.slow,
+    # ~10 min wall on the 1-core rig (the module fixture trains a real
+    # CLI checkpoint, then both stacks run full eval subprocesses) —
+    # excluded from the default run, `pytest -m xslow` executes it
+    pytest.mark.xslow,
     pytest.mark.skipif(not os.path.isdir("/root/reference"),
                        reason="reference checkout not present"),
 ]
