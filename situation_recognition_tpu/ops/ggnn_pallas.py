@@ -75,19 +75,27 @@ plus everything outside training, run the fused kernel.  Differentiated calls ru
 masked-sum math, because every custom backward LOST to it when measured
 (fwd+bwd at the grad branch's shape, B=768):
 
-    XLA AD over masked-sum                          19.6 ms   <- used
+    XLA AD over masked-sum                          19.4 ms   <- used
     kernel fwd + recompute-based custom VJP         ~31   ms  (+12 ms/step
                                                     at the train-step level
                                                     — why the round-2 kernel
                                                     won its microbenchmark
                                                     yet lost the train step)
     kernel fwd saving per-step h/z/r/c residuals
-    + hand-written gradient GEMMs (no recompute,
+    + jnp-level gradient GEMMs (no recompute,
     14% fewer bwd FLOPs via the fold)               22.2 ms
+    r3: residual fwd kernel (6.88) + hand-written
+    backward KERNEL fusing the reverse gate chain
+    in-VMEM + stacked param GEMMs (13.98)           19.6 ms   (tie)
 
-The residual backward loses despite fewer FLOPs because AD fuses the gate
-chain into its GEMM epilogues while a jnp-level reverse pass materializes
-each elementwise intermediate (measured fusion/bandwidth overhead ~4 ms).
+The jnp-level residual backward loses despite fewer FLOPs because AD
+fuses the gate chain into its GEMM epilogues while a jnp reverse pass
+materializes each elementwise intermediate (~4 ms).  The round-3
+backward KERNEL (``_folded_kernel_bwd`` below) removes exactly that
+materialization and lands in a dead heat with AD — the 36-vs-42 m d^2
+FLOP advantage buys back what the compiler's fusion already had.  Four
+designs measured; routing stays with AD (tie -> incumbent, zero
+numerics churn); ``SRTPU_GGNN_BWD=pallas`` selects the kernel path.
 Conclusion, documented rather than hidden: on TPU the fused kernel is a
 forward-path win; the backward belongs to the compiler.
 

@@ -38,6 +38,11 @@ def main(argv=None):
                          "batch size)")
     ap.add_argument("--all_devices", action="store_true",
                     help="round-robin dispatches over every local device")
+    ap.add_argument("--max_queue", type=int, default=256,
+                    help="per-entry admission bound; overload gets 429 "
+                         "(bounds daemon memory under any load)")
+    ap.add_argument("--allow_reload", action="store_true",
+                    help="enable POST /admin/reload artifact hot-swap")
     args = ap.parse_args(argv)
 
     import jax
@@ -47,7 +52,9 @@ def main(argv=None):
     devices = jax.devices() if args.all_devices else None
     httpd = serve_http(args.artifact, host=args.host, port=args.port,
                        max_wait_ms=args.max_wait_ms,
-                       max_batch=args.max_batch, devices=devices)
+                       max_batch=args.max_batch, devices=devices,
+                       max_queue=args.max_queue,
+                       allow_reload=args.allow_reload)
     host, port = httpd.server_address[:2]
     print(f"serving {args.artifact} on http://{host}:{port} "
           f"(max_wait_ms={args.max_wait_ms}, "
