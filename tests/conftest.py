@@ -13,6 +13,12 @@ import sys
 # JAX_PLATFORMS=axon for the real-TPU tunnel; tests must stay on CPU.
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["JAX_PLATFORM_NAME"] = "cpu"
+# Silence XLA's C++ ERROR-level logs (inherited by every CLI subprocess
+# the tests spawn): on this rig each warm-compile-cache load emits a
+# ~3 KB cpu_aot_loader machine-feature warning; dozens of loads flooded
+# test subprocess stderr (and once deadlocked an undrained pipe at
+# 64 KB — see test_cli.py's preemption drill).  FATAL still prints.
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -256,23 +256,33 @@ def test_sigterm_preemption_exits_clean_and_resumes(workdir):
            "--backbone", "mini", "--batch_size", "2", "--num_workers", "2",
            "--platform", "cpu", "--precision", "fp32",
            "--epochs", "1000", "--saving_folder", folder]
+    # stdout/stderr go to FILES, not pipes: an undrained PIPE caps the
+    # child at 64 KB of output, and on this rig every warm-compile-cache
+    # load emits a ~3 KB XLA cpu_aot_loader machine-feature warning to
+    # stderr (~58 KB before epoch 0) — the child deadlocked mid-startup
+    # blocked in write(2) and the test timed out having seen no
+    # checkpoint.  Files decouple the drill from the child's verbosity.
+    out_f = open(os.path.join(workdir, "preempt_out.log"), "w+")
+    err_f = open(os.path.join(workdir, "preempt_err.log"), "w+")
     p = subprocess.Popen(cmd, cwd=workdir, env=env,
-                         stdout=subprocess.PIPE, stderr=subprocess.PIPE,
-                         text=True)
+                         stdout=out_f, stderr=err_f, text=True)
     try:
         ckpt = os.path.join(workdir, folder, "sr")
         deadline = time.time() + 420
         while time.time() < deadline and not os.path.exists(ckpt):
-            assert p.poll() is None, p.communicate()[1][-3000:]
+            assert p.poll() is None, open(err_f.name).read()[-3000:]
             time.sleep(0.5)
         assert os.path.exists(ckpt), "no checkpoint within the deadline"
         time.sleep(1.0)  # get past the save into the next epoch's work
         p.send_signal(signal.SIGTERM)
-        out, err = p.communicate(timeout=180)
+        p.wait(timeout=180)
     finally:
         if p.poll() is None:
             p.kill()
-            p.communicate()
+            p.wait()
+        out_f.close()
+        err_f.close()
+    err = open(err_f.name).read()
     assert p.returncode == 0, (p.returncode, err[-3000:])
     # two honest notices depending on where the signal lands: mid-epoch
     # stops write a fresh boundary snapshot ("saved resumable checkpoint");
