@@ -25,11 +25,23 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+# Persistent compile cache for EVERY jit in the test session (and, via
+# the exported env var, every CLI subprocess the tests spawn — cli.py
+# honors an explicit JAX_COMPILATION_CACHE_DIR).  The suite's wall time
+# is dominated by hundreds of mini-model step compiles on a 1-core
+# host; the repo-local cache makes repeat runs hit warm executables.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(_REPO, ".jax_cache"))
 
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import pytest  # noqa: E402
 

@@ -55,7 +55,9 @@ def workdir(tmp_path_factory):
     return str(root)
 
 
-CACHE_DIR = os.path.join(os.environ.get("TMPDIR", "/tmp"), "srtpu_test_jax_cache")
+CACHE_DIR = os.environ.get(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.environ.get("TMPDIR", "/tmp"), "srtpu_test_jax_cache"))
 
 
 def run_cli(workdir, *extra, timeout=600):

@@ -33,8 +33,9 @@ pytestmark = pytest.mark.slow
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden")
 REGEN = os.environ.get("SRTPU_REGEN_GOLDENS") == "1"
-CACHE_DIR = os.path.join(os.environ.get("TMPDIR", "/tmp"),
-                         "srtpu_test_jax_cache")
+CACHE_DIR = os.environ.get(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.environ.get("TMPDIR", "/tmp"), "srtpu_test_jax_cache"))
 
 
 @pytest.fixture(scope="module")

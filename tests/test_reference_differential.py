@@ -51,8 +51,9 @@ pytestmark = [
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SHIM = os.path.join(os.path.dirname(os.path.abspath(__file__)), "refshim")
 REFERENCE = "/root/reference"
-CACHE_DIR = os.path.join(os.environ.get("TMPDIR", "/tmp"),
-                         "srtpu_test_jax_cache")
+CACHE_DIR = os.environ.get(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.environ.get("TMPDIR", "/tmp"), "srtpu_test_jax_cache"))
 
 
 @pytest.fixture(scope="module")
