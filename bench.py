@@ -17,6 +17,15 @@ single-pass ResNet-152 inference, so the reference is bounded by ~233 img/s
 per GPU before host overheads.  REFERENCE_IMG_PER_SEC_PER_CHIP = 200 is the
 generous estimate used here (BASELINE target: >= 8x this).
 
+In the default train mode, after the train measurement the bench spends
+any wall-clock headroom left inside the driver window measuring the eval
+step and the serving artifact too, and appends "eval_img_s" /
+"serving_img_s" to the SAME JSON line (VERDICT r3 #2) — strictly
+additive fields; a tight window or a wedged secondary phase degrades to
+the train-only line.  BENCH_SECONDARY=0 disables; BENCH_TOTAL_BUDGET
+(default 480 s) is the soft wall-clock budget for the whole bench
+(undercuts the driver's observed ~600 s kill).
+
 Env knobs: BENCH_MODE=train|eval|serving, BENCH_BATCH (default 768/chip),
 BENCH_BACKBONE (resnet152|vit_l14|vit_b16|...), BENCH_STEPS,
 BENCH_IMAGE_SIZE (input resolution, default 224; e.g. 336 for the CLIP
@@ -93,6 +102,56 @@ def _claim_watchdog(timeout_s: float, metric: str | None = None,
 
     threading.Thread(target=watch, daemon=True).start()
     return ok
+
+
+def _load_benchstep_module():
+    """tools/export_benchstep.py as a module (tools/ is not a package)."""
+    import importlib.util
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tools", "export_benchstep.py")
+    spec = importlib.util.spec_from_file_location("export_benchstep", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def maybe_bench_artifact(mode: str, batch: int, backbone: str,
+                         image_size: int, frozen_bn: str,
+                         register_trees=()):
+    """Pre-exported StableHLO of the bench step (tools/export_benchstep.py)
+    — skips the ~310 s 1-core Python trace of the flagship step that
+    otherwise dominates the driver window.  Returns
+    (deserialized_exported, manifest_cost) or (None, None) when the
+    artifact is absent or STALE (fingerprint covers every package source
+    + jax version; config covers the bench knobs): a mismatch silently
+    falls back to the live trace — a stale artifact can cost time, never
+    correctness.  BENCH_ARTIFACT=0 forces the live path."""
+    if os.environ.get("BENCH_ARTIFACT", "1") == "0":
+        return None, None
+    try:
+        import jax
+
+        ebs = _load_benchstep_module()
+        with open(os.path.join(ebs.ART_DIR, "manifest.json")) as f:
+            man = json.load(f)
+        if (man["fingerprint"] != ebs.source_fingerprint()
+                or man["jax_version"] != jax.__version__
+                or man["backend"] != jax.default_backend()
+                or man["config"] != ebs.bench_config_key(
+                    "train", batch, backbone, image_size, frozen_bn)):
+            print(f"[bench] {mode} artifact stale/mismatched — live trace",
+                  file=sys.stderr)
+            return None, None
+        step = man["steps"][mode]
+        with open(os.path.join(ebs.ART_DIR, step["file"]), "rb") as f:
+            blob = f.read()
+        # namedtuple treedefs (optax states, GGNNParams) must be
+        # registered on the deserialize side too
+        ebs.register_tree_serialization(*register_trees)
+        return jax.export.deserialize(blob), step.get("cost") or None
+    except (OSError, KeyError, ValueError):
+        return None, None
 
 
 # ------------------------------------------------- pallas FLOP accounting
@@ -226,6 +285,18 @@ def install_pallas_flop_counters():
 
 
 def main():
+    t_start = time.perf_counter()
+
+    def _elapsed() -> float:
+        return time.perf_counter() - t_start
+
+    def _phase(name: str) -> None:
+        # phase timestamps to stderr: the window budget decisions below
+        # (and the driver-window postmortems) need to know where the
+        # wall went — claim vs weight upload vs compile vs timed loop
+        print(f"[bench] t={_elapsed():.1f}s {name}", file=sys.stderr,
+              flush=True)
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -245,12 +316,18 @@ def main():
             "jax_compilation_cache_dir",
             os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          ".jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          0.0)  # cache the ~270 tiny init jits too:
+        # each is a ~0.5 s REMOTE compile round-trip on the axon
+        # tunnel (~2 min of every bench/CLI start measured r4);
+        # sub-second entries are a few KB each and cut that to
+        # local cache loads
 
     claimed = _claim_watchdog(
         float(os.environ.get("BENCH_CLAIM_TIMEOUT", "240")))
     on_tpu = jax.default_backend() == "tpu"
     claimed.set()
+    _phase('device claimed')
     # per-chip batch: reference global 6144 over 8 chips = 768/chip
     batch, backbone = bench_batch_backbone(on_tpu)
     steps = int(os.environ.get("BENCH_STEPS", 20 if on_tpu else 3))
@@ -298,6 +375,7 @@ def main():
         remat_backbone=bb_remat,
     )
     trainer = Trainer(encoder, cfg, mesh=mesh)
+    _phase('trainer built (weights uploaded)')
 
     B = cfg.batch_size
     rng = np.random.default_rng(0)
@@ -310,6 +388,7 @@ def main():
     }
     arrays, valid, _ = trainer._pad_batch(batch_host)
     arrays = {k: jax.device_put(v, trainer._bsh) for k, v in arrays.items()}
+    _phase('batch uploaded')
     valid = jax.device_put(valid, trainer._bsh)
 
     # second deadline: the remote compiler (and the serving export path)
@@ -398,8 +477,18 @@ def main():
     # identical step a SECOND time (the AOT path bypasses the jit cache),
     # roughly doubling bench wall time on the serialized remote compiler
     pallas_flops, _restore_counters = install_pallas_flop_counters()
+    art_cost = None
     if mode == "eval":
-        compiled = trainer._eval_step.lower(
+        art, art_cost = maybe_bench_artifact(
+            "eval", batch, backbone, image_size, frozen_bn,
+            register_trees=(trainer.opt_state,))
+        if art is not None:
+            print("[bench] using pre-exported eval-step artifact",
+                  file=sys.stderr)
+            eval_fn = jax.jit(art.call)
+        else:
+            eval_fn = trainer._eval_step
+        compiled = eval_fn.lower(
             trainer.head_params, trainer.backbone_params,
             trainer.backbone_stats, arrays["images"], arrays["verbs"],
             arrays["labels"], valid).compile()
@@ -428,11 +517,22 @@ def main():
             trainer.backbone_params = tp["backbone"]
             return losses
     else:
-        compiled = trainer._train_step.lower(
+        art, art_cost = maybe_bench_artifact(
+            "train", batch, backbone, image_size, frozen_bn,
+            register_trees=(trainer.opt_state,))
+        if art is not None:
+            print("[bench] using pre-exported train-step artifact "
+                  "(skips the ~310s 1-core trace)", file=sys.stderr)
+            step_fn = jax.jit(art.call)
+        else:
+            step_fn = trainer._train_step
+        lowered = step_fn.lower(
             trainer.head_params, trainer.opt_state,
             trainer.backbone_params, trainer.backbone_stats,
             jax.random.PRNGKey(0), arrays["images"], arrays["flip"],
-            arrays["verbs"], arrays["labels"], valid).compile()
+            arrays["verbs"], arrays["labels"], valid)
+        _phase('lowered (trace done)')
+        compiled = lowered.compile()
 
         def step(i):
             key = jax.random.fold_in(jax.random.PRNGKey(0), i)
@@ -446,6 +546,7 @@ def main():
             return losses
 
     _restore_counters()
+    _phase('lower+compile done')
 
     # warmup/compile; synchronize via host transfer (block_until_ready does
     # not reliably wait through the remote TPU tunnel)
@@ -454,6 +555,7 @@ def main():
     losses = step(1)
     float(losses[0])
     compile_ok.set()
+    _phase('warmup done')
 
     t0 = time.perf_counter()
     for i in range(2, 2 + steps):
@@ -480,18 +582,29 @@ def main():
               "MFU/HBM figures", file=sys.stderr)
     mfu = hbm_util = None
     try:
-        cost = compiled.cost_analysis()
-        if gen in peaks and cost and cost.get("flops"):
+        try:
+            cost = compiled.cost_analysis() or {}
+        except Exception:  # noqa: BLE001
+            cost = {}
+        if not cost.get("flops") and art_cost:
+            # pre-exported artifact path: the manifest carries the cost
+            # numbers recorded by tools/export_benchstep.py from an
+            # identical compile
+            cost = dict(art_cost)
+        if gen in peaks and cost.get("flops"):
             # cost_analysis reports the PER-DEVICE (SPMD-partitioned)
             # module's flops/bytes — verified empirically — so per-device
             # cost / per-device time / per-chip peak needs NO further
             # division by n_dev (dividing again understated MFU n_dev-fold
             # on multi-chip runs).  Custom-call (Pallas kernel) FLOPs are
             # invisible to cost_analysis and added back from the analytic
-            # counters; the traced shapes are GLOBAL, so the supplement is
-            # divided per-device to match.
+            # counters (live trace) or the manifest's recorded counter
+            # value (artifact path); traced shapes are GLOBAL, so the
+            # supplement is divided per-device to match.
             peak_f, peak_b = peaks[gen]
             kf = pallas_flops() / n_dev
+            if not kf and art_cost and art_cost.get("pallas_flops"):
+                kf = float(art_cost["pallas_flops"]) / n_dev
             if kf:
                 print(f"[bench] + {kf/1e9:.1f} GFLOP/step inside pallas "
                       "custom calls (cost_analysis-invisible, counted "
@@ -516,9 +629,14 @@ def main():
     }
     if mode == "train":
         # the baseline estimate is a TRAIN-step rate; a fwd-only eval rate
-        # against it would be apples-to-oranges
+        # against it would be apples-to-oranges.  The denominator is an
+        # ESTIMATE (the reference publishes no throughput numbers) — say
+        # so IN the recorded line, so no consumer can mistake the
+        # multiple for a measured ratio (VERDICT r3 weak-2)
         out["vs_baseline"] = round(img_per_sec_per_chip
                                    / REFERENCE_IMG_PER_SEC_PER_CHIP, 2)
+        out["baseline"] = ("estimated-200-img/s-per-gpu "
+                           "(unpublished; derivation in bench.py docstring)")
     if frozen_bn != "train":
         out["frozen_bn"] = frozen_bn
     if train_bb:
@@ -529,6 +647,87 @@ def main():
         out["mfu"] = round(mfu, 4)
     if hbm_util is not None:
         out["hbm_util"] = round(hbm_util, 4)
+
+    # ---- secondary surfaces in the SAME recorded line (VERDICT r3 #2):
+    # after the train measurement, spend any wall-clock headroom left
+    # inside the driver's kill window measuring the eval step (and the
+    # serving artifact) too, so BENCH_r*.json carries driver-recorded
+    # evidence for more than one mode.  Strictly additive: extra JSON
+    # fields cannot break the driver's parser, and any wedge/overrun in
+    # a secondary phase degrades to printing the train-only line.
+    if (mode == "train" and not train_bb and on_tpu
+            and os.environ.get("BENCH_SECONDARY", "1") == "1"):
+        budget = float(os.environ.get("BENCH_TOTAL_BUDGET", "480"))
+        import threading
+
+        def bail(reason: str):
+            out["secondary_skipped"] = reason
+            print(json.dumps(out))
+            sys.stdout.flush()
+            os._exit(0)
+
+        guard = threading.Timer(max(5.0, budget - _elapsed()),
+                                lambda: bail("secondary phase overran the "
+                                             "window budget"))
+        guard.daemon = True
+        guard.start()
+        try:
+            if _elapsed() < budget - 45:
+                e_art, _e_cost = maybe_bench_artifact(
+                    "eval", batch, backbone, image_size, frozen_bn,
+                    register_trees=(trainer.opt_state,))
+                e_fn = (jax.jit(e_art.call) if e_art is not None
+                        else trainer._eval_step)
+                if e_art is not None:
+                    print("[bench] secondary eval via pre-exported "
+                          "artifact", file=sys.stderr)
+                e_compiled = e_fn.lower(
+                    trainer.head_params, trainer.backbone_params,
+                    trainer.backbone_stats, arrays["images"],
+                    arrays["verbs"], arrays["labels"], valid).compile()
+
+                def estep():
+                    losses, _ = e_compiled(
+                        trainer.head_params, trainer.backbone_params,
+                        trainer.backbone_stats, arrays["images"],
+                        arrays["verbs"], arrays["labels"], valid)
+                    return losses
+                float(estep()[0])                        # warm
+                t0 = time.perf_counter()
+                for _ in range(max(5, steps // 2)):
+                    losses = estep()
+                float(losses[0])
+                edt = time.perf_counter() - t0
+                out["eval_img_s"] = round(
+                    B * max(5, steps // 2) / edt / n_dev, 2)
+            if _elapsed() < budget - 120:
+                import shutil
+                import tempfile
+
+                from situation_recognition_tpu.serving import (
+                    export_inference, load_inference)
+
+                art = tempfile.mkdtemp(prefix="srtpu_bench_serving_")
+                try:
+                    export_inference(trainer, art, batch_size=batch,
+                                     weights="f32", bake_weights=True)
+                    sfn = load_inference(art)
+                    imgs = jax.device_put(batch_host["images"][:batch])
+                    for _ in range(2):                   # warm
+                        o = sfn(imgs)
+                        float(np.asarray(o[1])[0])
+                    sN = max(5, steps // 2)
+                    t0 = time.perf_counter()
+                    for _ in range(sN):
+                        o = sfn(imgs)
+                    float(np.asarray(o[1])[0])
+                    sdt = time.perf_counter() - t0
+                    out["serving_img_s"] = round(batch * sN / sdt, 2)
+                finally:
+                    shutil.rmtree(art, ignore_errors=True)
+        except Exception as e:  # noqa: BLE001 — never lose the train line
+            out["secondary_error"] = str(e)[:200]
+        guard.cancel()
     print(json.dumps(out))
 
 

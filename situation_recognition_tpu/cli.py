@@ -450,7 +450,12 @@ def main(argv=None) -> None:
     if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
         jax.config.update("jax_compilation_cache_dir",
                           str(Path(args.saving_folder) / ".jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          0.0)  # cache the ~270 tiny init jits too:
+        # each is a ~0.5 s REMOTE compile round-trip on the axon
+        # tunnel (~2 min of every bench/CLI start measured r4);
+        # sub-second entries are a few KB each and cut that to
+        # local cache loads
 
     # encoder json is always train.json (reference behavior, sr.py:429-430)
     encoder_json = _load_json(pjoin(args.dataset_folder, 'train.json'))
@@ -534,13 +539,48 @@ def main(argv=None) -> None:
     # indexes per image, so caching would upload a split it never batches
     device_cached = need if not (args.test_img or args.subset > 0) else set()
 
+    # --cache_device HBM budget (r4, sized for the full-scale rehearsal):
+    # caching a split is an OPTIMIZATION, not a semantic — when the
+    # window array would leave the device less than the working headroom
+    # the train step needs (activations at the microbatch, the gathered
+    # uint8 batch, params + adamax state), fall back to streamed batches
+    # for that split instead of OOMing an hour into a run.  Splits are
+    # prepared train-first, so the train split gets first claim on HBM.
+    # SRTPU_HBM_BYTES overrides the probed/assumed device capacity.
+    _hbm_free = None
+    if args.cache_device:
+        _reserve = 4_500_000_000        # measured flagship working set + margin
+        if os.environ.get('SRTPU_HBM_BYTES'):
+            _hbm_free = int(os.environ['SRTPU_HBM_BYTES'])
+        else:
+            try:
+                stats = jax.local_devices()[0].memory_stats() or {}
+                _hbm_free = (stats.get('bytes_limit', 0)
+                             - stats.get('bytes_in_use', 0))
+            except Exception:           # noqa: BLE001 — stats are optional
+                _hbm_free = None
+            if not _hbm_free or _hbm_free <= 0:
+                _hbm_free = 16_000_000_000
+        _hbm_free -= _reserve
+
     def _prepare(dataset, split):
+        nonlocal _hbm_free
         if args.packed_dir:
             dataset.enable_packed(args.packed_dir)
         elif args.cache_decoded:
             dataset.enable_decode_cache()
         if args.cache_device and split in device_cached:
-            dataset.enable_window_cache()
+            S = dataset.window_size
+            need = len(dataset.names) * S * S * 3
+            if need <= _hbm_free:
+                dataset.enable_window_cache()
+                _hbm_free -= need
+            else:
+                print(f'[srtpu] --cache_device: {split} split '
+                      f'({need/1e9:.1f} GB of windows) exceeds the '
+                      f'remaining HBM budget ({_hbm_free/1e9:.1f} GB '
+                      f'after working-set reserve) — streaming it '
+                      f'instead', file=sys.stderr)
         return dataset
 
     # loaders use the ROUNDED batch: built at args.batch_size they would

@@ -711,8 +711,12 @@ def _pallas_bwd(params: GGNNParams, mask, resids, g, num_steps: int,
                      preferred_element_type=f32)
     dba = DA.astype(f32).sum(axis=0)[None, :]
 
+    # pull back through an f32 fold so the f32-accumulated einsums above
+    # reach the (d, 3d) parameter cotangents at full precision — folding
+    # at the kernel's bf16 dtype here would round the accumulators to
+    # bf16 before the pull-back for no reason (ADVICE r3 #3; the KERNEL
+    # still consumes the bf16 fold, this only affects gradient precision)
     _, fold_vjp = jax.vjp(
-        lambda p: fold_gate_weights(p, float(r)), params)
-    (dparams,) = fold_vjp((dwa.astype(wa.dtype), duzr.astype(uzr.dtype),
-                           duh.astype(uh.dtype), dba))
+        lambda p: fold_gate_weights(p, float(r), dtype=f32), params)
+    (dparams,) = fold_vjp((dwa, duzr, duh, dba))
     return dparams, dh

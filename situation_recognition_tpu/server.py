@@ -224,21 +224,30 @@ class DynamicBatcher:
 
     def _run(self, kind: str, batch) -> None:
         futs = [f for _, f, _ in batch]
+        # read self._fn ONCE: a hot reload (swap_fn) racing this dispatch
+        # must not split one batch across two artifacts, and the meta
+        # attached to each row below must be the meta of the fn that
+        # actually produced the logits (ADVICE r3 #1 — a request landing
+        # mid-swap must not combine new logits with old label_list)
+        fn = self._fn
+        served_meta = getattr(fn, "meta", None)
         try:
             args = tuple(np.stack([p[i] for p, _, _ in batch])
                          for i in range(len(batch[0][0])))
             if kind == "argmax":
-                verb_logits, verb_ids, noun_logits = self._fn(args[0])
+                verb_logits, verb_ids, noun_logits = fn(args[0])
                 verb_logits = np.asarray(verb_logits)
                 verb_ids = np.asarray(verb_ids)
                 noun_logits = np.asarray(noun_logits)
                 rows = [{"verb_logits": verb_logits[i],
                          "verb_id": int(verb_ids[i]),
-                         "noun_logits": noun_logits[i]}
+                         "noun_logits": noun_logits[i],
+                         "served_meta": served_meta}
                         for i in range(len(batch))]
             else:
-                noun_logits = np.asarray(self._fn.gt(args[0], args[1]))
-                rows = [{"noun_logits": noun_logits[i]}
+                noun_logits = np.asarray(fn.gt(args[0], args[1]))
+                rows = [{"noun_logits": noun_logits[i],
+                         "served_meta": served_meta}
                         for i in range(len(batch))]
         except Exception as e:       # noqa: BLE001 — fan the error out
             for f in futs:
@@ -315,6 +324,20 @@ class _LatencyRing:
 
 # ------------------------------------------------------------------ HTTP
 
+def _warm(fn) -> None:
+    """Run one zero batch through each entry of ``fn`` so the XLA compile
+    happens before the artifact takes traffic (used at startup and on hot
+    reload; the loader pads every dispatch to the baked batch size, so
+    this one call covers all request shapes)."""
+    meta = getattr(fn, "meta", {})
+    baked = int(getattr(fn, "batch_size", 0) or meta.get("batch_size", 1))
+    zeros = np.zeros((baked, 256, 256, 3), np.uint8)
+    np.asarray(fn(zeros)[1])                         # compile + run argmax
+    gt = getattr(fn, "gt", None)
+    if gt is not None:
+        np.asarray(gt(zeros, np.zeros((baked,), np.int32)))
+
+
 def _decode_body(body: bytes) -> np.ndarray:
     """Image bytes (JPEG/PNG/...) → eval window, exactly the dataset's
     eval preprocessing (PIL decode → RGB → host_window center crop)."""
@@ -367,11 +390,18 @@ class _Handler:
     def __init__(self, batcher: DynamicBatcher, meta: dict,
                  timeout_s: float = 60.0, reload_fn=None):
         self.batcher = batcher
-        self.meta = meta
         self.timeout_s = timeout_s
         self.reload_fn = reload_fn      # path -> loaded artifact, or None
-        self._verb_index = {v: i for i, v in
-                            enumerate(meta.get("verb_list", []))}
+        # (meta, verb_index) live in ONE attribute so a hot reload swaps
+        # them atomically — a predict landing mid-swap unpacks a
+        # consistent pair instead of combining the new verb index with
+        # the old meta (ADVICE r3 #1)
+        self._served = (meta, {v: i for i, v in
+                               enumerate(meta.get("verb_list", []))})
+
+    @property
+    def meta(self) -> dict:
+        return self._served[0]
 
     def get(self, path: str):
         if path == "/healthz":
@@ -426,39 +456,49 @@ class _Handler:
             return 400, {"error": 'body must be {"artifact": "<dir>"}'}
         try:
             fn = self.reload_fn(path)
-            self.batcher.swap_fn(fn)
+            # warm the replacement BEFORE it starts taking traffic: the
+            # first dispatch after a cold swap would otherwise pay the
+            # full XLA compile — the exact cold-start 504 serve_http's
+            # warmup exists to prevent (ADVICE r3 #2)
+            _warm(fn)
             new_meta = getattr(fn, "meta", {})
+            new_state = (new_meta, {v: i for i, v in
+                                    enumerate(new_meta.get("verb_list", []))})
+            self.batcher.swap_fn(fn)
         except Exception as e:       # noqa: BLE001 — keep serving old fn
             return 400, {"error": f"reload failed, still serving the "
                                   f"previous artifact: {e}"}
-        self.meta = new_meta
-        self._verb_index = {v: i for i, v in
-                            enumerate(new_meta.get("verb_list", []))}
+        self._served = new_state     # single atomic assignment
         return 200, {"status": "reloaded", "artifact": path,
                      "format_version": new_meta.get("format_version")}
 
     def _predict_decoded(self, window, verb: Optional[str]):
-        meta = self.meta
+        meta, verb_index = self._served    # one consistent pair
         if verb is not None:
             # the reference's gt path: a given-and-valid verb is used with
             # probability 1 (sr.py:249-251); an unknown verb is an error
             # here (the CLI's "calculating by myself" fallback belongs to
             # the CLI; an API should not silently ignore an argument)
-            if verb not in self._verb_index:
+            if verb not in verb_index:
                 return 400, {"error": f"unknown verb {verb!r}"}
             if "gt" not in self.batcher._queues:
                 # capability of the artifact, not a server fault
                 return 400, {"error": "artifact has no gt-verb entry "
                                       "(format_version < 2); re-export"}
-            vid = self._verb_index[verb]
+            vid = verb_index[verb]
             fut = self.batcher.submit_gt(window, vid)
             row = fut.result(timeout=self.timeout_s)
+            # map labels through the meta of the fn that actually served
+            # the dispatch — a reload between submit and dispatch would
+            # otherwise pair new logits with the old label_list
+            meta = row.get("served_meta") or meta
             return 200, {
                 "verb": verb, "verb_id": vid, "verb_prob": 1.0,
                 "roles": _role_rows(meta, verb, row["noun_logits"]),
             }
         fut = self.batcher.submit(window)
         row = fut.result(timeout=self.timeout_s)
+        meta = row.get("served_meta") or meta
         vid = row["verb_id"]
         vlist = meta.get("verb_list", [])
         vname = vlist[vid] if vid < len(vlist) else str(vid)
@@ -501,12 +541,7 @@ def serve_http(artifact, host: str = "127.0.0.1", port: int = 8000,
         fn = artifact
     meta = getattr(fn, "meta", {})
     if warmup:
-        baked = int(getattr(fn, "batch_size", 0) or meta.get("batch_size", 1))
-        zeros = np.zeros((baked, 256, 256, 3), np.uint8)
-        np.asarray(fn(zeros)[1])                     # compile + run argmax
-        gt = getattr(fn, "gt", None)
-        if gt is not None:
-            np.asarray(gt(zeros, np.zeros((baked,), np.int32)))
+        _warm(fn)
     batcher = DynamicBatcher(fn, max_batch=max_batch,
                              max_wait_ms=max_wait_ms, max_queue=max_queue)
     reload_fn = None

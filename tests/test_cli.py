@@ -197,6 +197,43 @@ def test_cache_device_scopes_to_the_mode_splits(tmp_path):
     assert "=> evaluating model with dev-set..." in r.stdout
 
 
+def test_cache_device_hbm_budget_falls_back_to_streaming(tmp_path):
+    """When a split's window array exceeds the HBM budget (r4: probed
+    device capacity minus the working-set reserve, overridable via
+    SRTPU_HBM_BYTES), --cache_device must STREAM that split with a
+    stderr note instead of OOMing mid-run — caching is an optimization,
+    not a semantic."""
+    from PIL import Image
+
+    with open(os.path.join(REPO, "imSitu", "overfitting.json")) as f:
+        ann = json.load(f)
+    ds = tmp_path / "imSitu"
+    ds.mkdir()
+    for name in ("train.json", "dev.json", "test.json"):
+        with open(ds / name, "w") as f:
+            json.dump(ann, f)
+    imgs = tmp_path / "resized_256"
+    imgs.mkdir()
+    rng = np.random.default_rng(0)
+    for name in ann:
+        arr = rng.integers(0, 255, (256, 256, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(imgs / name, quality=95)
+
+    env_budget = {"SRTPU_HBM_BYTES": "1"}    # reserve eats it -> stream
+    old = os.environ.get("SRTPU_HBM_BYTES")
+    os.environ.update(env_budget)
+    try:
+        r = run_cli(str(tmp_path), "--cache_device", "--evaluate_dev")
+    finally:
+        if old is None:
+            os.environ.pop("SRTPU_HBM_BYTES", None)
+        else:
+            os.environ["SRTPU_HBM_BYTES"] = old
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "streaming it instead" in r.stderr
+    assert "=> evaluating model with dev-set..." in r.stdout
+
+
 def test_cache_device_and_cache_decoded_rejected(workdir):
     r = run_cli(workdir, "--cache_device", "--cache_decoded", "--epochs", "1")
     assert r.returncode == 2

@@ -60,15 +60,55 @@ ROLE_POOL = [
 ]
 
 
-def _hue_rgb(h: float) -> np.ndarray:
-    return np.array([round(255 * c) for c in colorsys.hsv_to_rgb(h, 0.9, 0.95)],
+def _hue_rgb(h: float, s: float = 0.9, v: float = 0.95) -> np.ndarray:
+    return np.array([round(255 * c) for c in colorsys.hsv_to_rgb(h % 1.0, s, v)],
                     dtype=np.uint8)
 
 
-class SynthSpec:
-    """Deterministic vocabulary + visual-code tables."""
+def _color_grid(n: int, sats, n_values: int, v_lo: float = 0.30,
+                v_hi: float = 0.95, hue_offset: float = 0.0):
+    """``n`` maximally-separated HSV colors on a hue x value x saturation
+    grid.  At real-imSitu cardinality (2000 nouns) a pure hue wheel puts
+    adjacent labels ~0.18 degrees apart — indistinguishable after JPEG —
+    so the full-scale mode spreads labels over 3 independent,
+    pooling-robust color axes instead.  Returns index -> rgb."""
+    per_hue = len(sats) * n_values
+    n_h = -(-n // per_hue)
+    values = np.linspace(v_lo, v_hi, n_values)
+    out = []
+    for c in range(n):
+        h = (c % n_h) / n_h + hue_offset
+        v = values[(c // n_h) % n_values]
+        s = sats[c // (n_h * n_values)]
+        out.append(_hue_rgb(h, s, v))
+    return out
 
-    def __init__(self, n_verbs: int, nouns_per_role: int):
+
+class SynthSpec:
+    """Deterministic vocabulary + visual-code tables.
+
+    Default mode (``n_roles=None, total_nouns=None``) reproduces the
+    original small-vocab hue-wheel code exactly.  Full-scale mode
+    (``--roles/--total_nouns``) targets real-imSitu cardinality
+    (504/190/2001, ``/root/reference/README.md:23-26``): the role pool is
+    extended procedurally, ``total_nouns`` is distributed near-evenly over
+    the roles, and colors come from a 3-D HSV grid — nouns on
+    saturations {0.55, 1.0}, verbs exclusively on saturation 0.75, so the
+    position-blind "which colors are present" decoding stays well-posed
+    even with verb+noun colors sharing the wheel.  ``unk=True`` names one
+    noun literally ``'UNK'``, matching the real train vocabulary the
+    reference indexes into (``utils/imsitu_encoder.py:190-194``)."""
+
+    def __init__(self, n_verbs: int, nouns_per_role: int,
+                 n_roles: int | None = None,
+                 total_nouns: int | None = None, unk: bool = False):
+        full_scale = total_nouns is not None
+        if n_roles is None:
+            role_pool = list(ROLE_POOL)
+        else:
+            role_pool = [ROLE_POOL[i] if i < len(ROLE_POOL)
+                         else f"synthrole{i}" for i in range(n_roles)]
+        self.role_pool = role_pool
         self.verbs = [f"synthverb{i}" for i in range(n_verbs)]
         # verb i has 1..6 roles, rotating through the role pool so roles are
         # shared across verbs (as in real imSitu); every 6th verb uses the
@@ -77,27 +117,65 @@ class SynthSpec:
         for i, v in enumerate(self.verbs):
             rc = 1 + (i % 6)
             self.roles_per_verb[v] = [
-                ROLE_POOL[(i + j) % len(ROLE_POOL)] for j in range(rc)]
+                role_pool[(i + j) % len(role_pool)] for j in range(rc)]
         # disjoint noun sub-vocabulary per role name (see module docstring)
+        if full_scale:
+            base, extra = divmod(total_nouns, len(role_pool))
+            if base < 2:
+                raise ValueError(
+                    f"--total_nouns {total_nouns} gives <2 nouns for some "
+                    f"of the {len(role_pool)} roles")
+            pool_sizes = [base + (1 if r < extra else 0)
+                          for r in range(len(role_pool))]
+        else:
+            pool_sizes = [nouns_per_role] * len(role_pool)
         self.nouns = []
         self.role_nouns = {}
-        for r_idx, role in enumerate(ROLE_POOL):
-            pool = [f"n{90000000 + r_idx * nouns_per_role + j}"
-                    for j in range(nouns_per_role)]
+        self._noun_global_idx = {}
+        for r_idx, role in enumerate(role_pool):
+            pool = [f"n{90000000 + r_idx * 100000 + j}"
+                    for j in range(pool_sizes[r_idx])]
             self.role_nouns[role] = pool
-            self.nouns.extend(pool)
+            for n in pool:
+                self._noun_global_idx[n] = len(self.nouns)
+                self.nouns.append(n)
+        if unk:
+            old = self.role_nouns[role_pool[-1]][-1]
+            self._rename_noun(old, "UNK")
         n_nouns = len(self.nouns)
-        self.verb_rgb = {
-            v: _hue_rgb(i / n_verbs) for i, v in enumerate(self.verbs)}
-        # noun hues: offset half a step so no noun color equals a verb
-        # color, and strided by role so a role's OWN nouns (the ones the
-        # model must discriminate) sit maximally far apart on the wheel
-        self.noun_rgb = {}
-        for r_idx, role in enumerate(ROLE_POOL):
-            for j, n in enumerate(self.role_nouns[role]):
-                h = (j * len(ROLE_POOL) + r_idx + 0.5) / n_nouns
-                self.noun_rgb[n] = _hue_rgb(h)
+        if full_scale:
+            verb_colors = _color_grid(n_verbs, sats=[0.75], n_values=8,
+                                      hue_offset=0.31)
+            self.verb_rgb = dict(zip(self.verbs, verb_colors))
+            noun_colors = _color_grid(n_nouns, sats=[0.55, 1.0], n_values=10)
+            self.noun_rgb = {}
+            for r_idx, role in enumerate(role_pool):
+                for j, n in enumerate(self.role_nouns[role]):
+                    # stride by role so a role's OWN nouns (the ones the
+                    # model must discriminate) sit far apart on the grid
+                    c = (j * len(role_pool) + r_idx) % n_nouns
+                    self.noun_rgb[n] = noun_colors[c]
+        else:
+            self.verb_rgb = {
+                v: _hue_rgb(i / n_verbs) for i, v in enumerate(self.verbs)}
+            # noun hues: offset half a step so no noun color equals a verb
+            # color, and strided by role so a role's nouns sit maximally
+            # far apart on the wheel
+            self.noun_rgb = {}
+            for r_idx, role in enumerate(role_pool):
+                for j, n in enumerate(self.role_nouns[role]):
+                    h = (j * len(role_pool) + r_idx + 0.5) / n_nouns
+                    self.noun_rgb[n] = _hue_rgb(h)
         self.noun_rgb[""] = np.zeros((3,), dtype=np.uint8)
+
+    def _rename_noun(self, old: str, new: str) -> None:
+        idx = self._noun_global_idx.pop(old)
+        self._noun_global_idx[new] = idx
+        self.nouns[idx] = new
+        for pool in self.role_nouns.values():
+            for j, n in enumerate(pool):
+                if n == old:
+                    pool[j] = new
 
 
 def render(spec: SynthSpec, verb: str, assignment: dict,
@@ -141,7 +219,7 @@ def _patch_label_coverage(spec: SynthSpec, anns: dict) -> None:
     train split covers its label space; a small synthetic sample might
     not, so rewrite a round-robin of images until every (role, noun) pair
     — including the empty label — appears in some train annotation."""
-    by_role = {r: [] for r in ROLE_POOL}
+    by_role = {r: [] for r in spec.role_pool}
     for name, ann in anns.items():
         for role in ann["frames"][0]:
             by_role[role].append(name)
@@ -204,6 +282,19 @@ def main(argv=None) -> None:
     p.add_argument("--nouns_per_role", type=int, default=4,
                    help="disjoint nouns per role name "
                         f"(total = this x {len(ROLE_POOL)} roles)")
+    p.add_argument("--roles", type=int, default=None,
+                   help="role-pool size (default: the built-in 12; the real "
+                        "imSitu has 190 — names beyond the pool are "
+                        "generated)")
+    p.add_argument("--total_nouns", type=int, default=None,
+                   help="full-scale mode: total non-empty noun vocabulary, "
+                        "distributed near-evenly over the roles (overrides "
+                        "--nouns_per_role; the real imSitu has 2001 labels "
+                        "= 1999 nouns + '' + 'UNK' -> use --total_nouns "
+                        "2000 --unk)")
+    p.add_argument("--unk", action="store_true",
+                   help="name one noun literally 'UNK' (present in the real "
+                        "train vocabulary, utils/imsitu_encoder.py:190-194)")
     p.add_argument("--train", type=int, default=2048)
     p.add_argument("--dev", type=int, default=512)
     p.add_argument("--test", type=int, default=512)
@@ -217,7 +308,8 @@ def main(argv=None) -> None:
 
     os.makedirs(args.out, exist_ok=True)
     os.makedirs(args.img_dir, exist_ok=True)
-    spec = SynthSpec(args.verbs, args.nouns_per_role)
+    spec = SynthSpec(args.verbs, args.nouns_per_role, n_roles=args.roles,
+                     total_nouns=args.total_nouns, unk=args.unk)
     rng = np.random.default_rng(args.seed)
 
     for split, n in (("train", args.train), ("dev", args.dev),

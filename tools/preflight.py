@@ -13,18 +13,37 @@ end-of-round commit.
 
 Exit code 0 iff both checks pass inside the window.
 
+It also prints a CACHE-HEALTH line (VERDICT r3 #3b): the committed
+``.jax_cache``'s entry count + size against a documented bound, an
+execute check of a cached CPU executable (the cache was compiled on a
+host with ``+prefer-no-gather/scatter``; XLA warns the mismatch "could
+lead to execution errors such as SIGILL" on every load — this check
+makes "it works on this host" a *checked* claim: a SIGILL crashes the
+probe subprocess and fails preflight), and — unless
+``PREFLIGHT_SKIP_COLD=1`` — a TIMED cache-bypass compile of the dryrun
+trainer, so "cold still fits the window" is measured, not hoped.
+
 Env:  PREFLIGHT_WINDOW   driver kill window in seconds (default 480 —
                          tighter than the observed ~600 s for margin)
       PREFLIGHT_SKIP_BENCH=1 / PREFLIGHT_SKIP_DRYRUN=1 to run one only
+      PREFLIGHT_SKIP_COLD=1    skip the timed cache-bypass compile
 """
 
 import json
 import os
 import subprocess
 import sys
+import tempfile
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CACHE_DIR = os.path.join(REPO, ".jax_cache")
+# documented bound: the cache holds the measured hit-set of the driver
+# checks + default test suite (tools/cache_audit.py) and must stay under
+CACHE_MAX_MB = 260.0
+CACHE_MAX_ENTRIES = 900   # r4: sub-second init jits are cached too
+#                           (~300 few-KB entries that cut ~2 min of
+#                           remote round-trips per bench/CLI start)
 
 
 def run_check(name: str, cmd: list, window: float) -> dict:
@@ -61,6 +80,109 @@ def run_check(name: str, cmd: list, window: float) -> dict:
             "tail": (err.strip().splitlines() or [""])[-1][:200]}
 
 
+def cache_health(window: float) -> bool:
+    """The committed compile cache as a checked claim, not a hope."""
+    files = [f for f in os.listdir(CACHE_DIR)
+             if os.path.isfile(os.path.join(CACHE_DIR, f))] \
+        if os.path.isdir(CACHE_DIR) else []
+    size_mb = sum(os.path.getsize(os.path.join(CACHE_DIR, f))
+                  for f in files) / 1e6
+    bound_ok = size_mb <= CACHE_MAX_MB and len(files) <= CACHE_MAX_ENTRIES
+    print(f"[preflight] cache-health: {len(files)} entries, "
+          f"{size_mb:.1f} MB (bound {CACHE_MAX_ENTRIES} entries / "
+          f"{CACHE_MAX_MB:.0f} MB) {'OK' if bound_ok else 'OVER BOUND'}")
+
+    # execute probe: load + RUN cached CPU executables in a subprocess.
+    # The cache was compiled on a host with +prefer-no-gather/scatter;
+    # XLA's cpu_aot_loader warns every load that the mismatch "could
+    # lead to execution errors such as SIGILL".  A SIGILL kills the
+    # probe -> nonzero rc -> preflight fails loudly instead of the
+    # driver checks dying mid-window.
+    probe = (
+        "import logging\n"
+        "msgs = []\n"
+        "class H(logging.Handler):\n"
+        "    def emit(self, r): msgs.append(r.getMessage())\n"
+        "lg = logging.getLogger('jax._src.compiler')\n"
+        "lg.setLevel(logging.DEBUG); lg.addHandler(H())\n"
+        "import jax, jax.numpy as jnp\n"
+        "jax.config.update('jax_platforms','cpu')\n"
+        f"jax.config.update('jax_compilation_cache_dir', {CACHE_DIR!r})\n"
+        "jax.config.update('jax_persistent_cache_min_compile_time_secs',"
+        " 0.0)\n"
+        "def srtpu_cache_probe(a):\n"
+        "    return (a @ a).sum()\n"
+        "x = jax.jit(srtpu_cache_probe)(jnp.ones((128, 128)))\n"
+        "assert float(x) == 128.0 ** 3\n"
+        "hit = any('cache hit' in m.lower() for m in msgs)\n"
+        "print('EXEC_OK', 'HIT' if hit else 'MISS')\n")
+    hit = False
+    try:
+        p = subprocess.run([sys.executable, "-c", probe], cwd=REPO,
+                           capture_output=True, text=True, timeout=120)
+        exec_ok = p.returncode == 0 and "EXEC_OK" in p.stdout
+        hit = "EXEC_OK HIT" in p.stdout
+        mismatch = "cpu_aot_loader" in p.stderr
+    except subprocess.TimeoutExpired:
+        exec_ok, mismatch = False, False
+    verdict = ("OK" if exec_ok else
+               "FAILED (SIGILL-class hazard is real on this host — "
+               "drop .jax_cache)")
+    note = (" [feature-mismatch warnings present: cache built with "
+            "+prefer-no-gather/scatter; execute probe passed, so "
+            "known-benign here]" if exec_ok and mismatch else "")
+    src = ("loaded from cache" if hit else
+           "probe entry MISSED the cache (first seeding run, or key "
+           "drifted — commit .jax_cache to seed it)")
+    print(f"[preflight] cache-health: cached-executable run "
+          f"{verdict} ({src}){note}")
+
+    # bench-step artifact freshness: a stale artifact silently costs the
+    # driver bench ~5 min of live tracing (bench.py falls back) — make
+    # staleness visible here rather than discovered in the window
+    try:
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "export_benchstep",
+            os.path.join(REPO, "tools", "export_benchstep.py"))
+        ebs = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ebs)
+        with open(os.path.join(ebs.ART_DIR, "manifest.json")) as f:
+            man = json.load(f)
+        fresh = man["fingerprint"] == ebs.source_fingerprint()
+        print("[preflight] cache-health: bench-step artifact "
+              + ("FRESH" if fresh else
+                 "STALE — re-run tools/export_benchstep.py (bench will "
+                 "fall back to ~5 min live tracing)"))
+    except (OSError, KeyError, ValueError):
+        print("[preflight] cache-health: bench-step artifact ABSENT — "
+              "run tools/export_benchstep.py on the chip rig")
+
+    cold_ok = True
+    if os.environ.get("PREFLIGHT_SKIP_COLD") != "1":
+        # cache-BYPASS compile of the dryrun trainer: does a cold clone
+        # (empty cache / foreign CPU) still fit the driver window?
+        with tempfile.TemporaryDirectory(prefix="srtpu_coldcache_") as td:
+            env = dict(os.environ)
+            env["JAX_COMPILATION_CACHE_DIR"] = td
+            t0 = time.perf_counter()
+            try:
+                p = subprocess.run(
+                    [sys.executable, "-c",
+                     "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+                    cwd=REPO, env=env, capture_output=True, text=True,
+                    timeout=window)
+                cold_ok = p.returncode == 0 and "OK" in p.stdout
+            except subprocess.TimeoutExpired:
+                cold_ok = False
+            wall = time.perf_counter() - t0
+        print(f"[preflight] cache-health: cold (cache-bypass) dryrun "
+              f"compile {'PASS' if cold_ok else 'FAIL'} "
+              f"wall={wall:.1f}s (window {window:.0f}s)")
+    return bound_ok and exec_ok and cold_ok
+
+
 def main() -> int:
     window = float(os.environ.get("PREFLIGHT_WINDOW", "480"))
     checks = []
@@ -70,8 +192,15 @@ def main() -> int:
         checks.append(("dryrun_multichip", [
             sys.executable, "-c",
             "import __graft_entry__ as g; g.dryrun_multichip(8)"]))
+    if os.environ.get("PREFLIGHT_MULTIPROC") == "1":
+        # multi-HOST drill: 2 gloo processes x 4 virtual devices, one
+        # step over the spanning mesh (VERDICT r3 #7; env-gated so the
+        # driver default stays fast)
+        checks.append(("dryrun_multiproc", [
+            sys.executable, "-c",
+            "import __graft_entry__ as g; g.dryrun_multiproc(2, 4)"]))
 
-    all_ok = True
+    all_ok = cache_health(window)
     for name, cmd in checks:
         res = run_check(name, cmd, window)
         all_ok &= res["ok"]
