@@ -28,6 +28,7 @@ Parity details:
 from __future__ import annotations
 
 import dataclasses
+import os
 import weakref
 from typing import Any, Dict, Optional, Tuple
 
@@ -869,11 +870,44 @@ class Trainer:
 
     def _hbm_window_cache(self, dataset) -> jax.Array:
         """Upload a dataset's precomputed window cache to HBM once
-        (replicated over the mesh) and memoize the device array."""
+        (replicated over the mesh) and memoize the device array.
+
+        Uploads in bounded CHUNKS (256 MB of rows) written into a
+        device-resident buffer via donated ``dynamic_update_slice``
+        instead of one giant ``device_put``: a single multi-GB transfer
+        must be serialized whole by the transport (and wedged this rig's
+        TPU relay indefinitely at 11.8 GB — r4 full-scale rehearsal),
+        while chunking bounds both the transport message size and the
+        host-side serialization memory, with identical device contents.
+        Donation keeps peak HBM at cache + one chunk."""
         host = dataset._window_cache
         entry = self._hbm_caches.get(dataset)
         if entry is None or entry[0]() is not host:
-            entry = (weakref.ref(host), jax.device_put(host, self._repl))
+            chunk_bytes = int(os.environ.get("SRTPU_HBM_CHUNK_BYTES",
+                                             256 << 20))
+            chunk_rows = max(1, chunk_bytes // int(
+                np.prod(host.shape[1:]) * host.dtype.itemsize))
+            if len(host) <= chunk_rows:
+                dev = jax.device_put(host, self._repl)
+            else:
+                alloc = jax.jit(
+                    lambda: jnp.zeros(host.shape, host.dtype),
+                    out_shardings=self._repl)
+                write = jax.jit(
+                    lambda buf, chunk, row: jax.lax.dynamic_update_slice(
+                        buf, chunk, (row,) + (0,) * (buf.ndim - 1)),
+                    out_shardings=self._repl, donate_argnums=(0,))
+                dev = alloc()
+                for start in range(0, len(host), chunk_rows):
+                    piece = jax.device_put(host[start:start + chunk_rows],
+                                           self._repl)
+                    dev = write(dev, piece, jnp.int32(start))
+                    # drain the stream before the next chunk: letting N
+                    # async multi-hundred-MB transfers queue up recreates
+                    # the oversized-inflight condition chunking exists to
+                    # avoid
+                    jax.block_until_ready(dev)
+            entry = (weakref.ref(host), dev)
             self._hbm_caches[dataset] = entry
         return entry[1]
 
