@@ -526,13 +526,27 @@ def main():
             step_fn = jax.jit(art.call)
         else:
             step_fn = trainer._train_step
-        lowered = step_fn.lower(
-            trainer.head_params, trainer.opt_state,
-            trainer.backbone_params, trainer.backbone_stats,
-            jax.random.PRNGKey(0), arrays["images"], arrays["flip"],
-            arrays["verbs"], arrays["labels"], valid)
-        _phase('lowered (trace done)')
-        compiled = lowered.compile()
+
+        def _lower_compile(fn):
+            lowered = fn.lower(
+                trainer.head_params, trainer.opt_state,
+                trainer.backbone_params, trainer.backbone_stats,
+                jax.random.PRNGKey(0), arrays["images"], arrays["flip"],
+                arrays["verbs"], arrays["labels"], valid)
+            _phase('lowered (trace done)')
+            return lowered.compile()
+
+        try:
+            compiled = _lower_compile(step_fn)
+        except Exception:  # noqa: BLE001
+            # a stale-in-ways-the-manifest-missed artifact (shardings,
+            # device count, avals) must cost time, never the bench line:
+            # fall back to the live trace (ADVICE r4)
+            if art is None:
+                raise
+            print("[bench] pre-exported artifact failed to lower/compile "
+                  "— falling back to the live trace", file=sys.stderr)
+            compiled = _lower_compile(trainer._train_step)
 
         def step(i):
             key = jax.random.fold_in(jax.random.PRNGKey(0), i)
@@ -655,15 +669,30 @@ def main():
     # evidence for more than one mode.  Strictly additive: extra JSON
     # fields cannot break the driver's parser, and any wedge/overrun in
     # a secondary phase degrades to printing the train-only line.
+    # once-latch for the recorded JSON line: the secondary-phase watchdog
+    # fires from a Timer thread while the main thread may be mutating
+    # ``out`` — without the latch the driver could read a torn or
+    # duplicate last line (ADVICE r4).  Exactly one thread ever prints.
+    import threading
+
+    _emit_lock = threading.Lock()
+    _emitted = [False]
+
     if (mode == "train" and not train_bb and on_tpu
             and os.environ.get("BENCH_SECONDARY", "1") == "1"):
         budget = float(os.environ.get("BENCH_TOTAL_BUDGET", "480"))
-        import threading
 
         def bail(reason: str):
-            out["secondary_skipped"] = reason
-            print(json.dumps(out))
-            sys.stdout.flush()
+            with _emit_lock:
+                if _emitted[0]:
+                    return
+                _emitted[0] = True
+                # dict copy is atomic under the GIL; serializing the
+                # snapshot cannot race the main thread's key assignments
+                snap = dict(out)
+                snap["secondary_skipped"] = reason
+                print(json.dumps(snap))
+                sys.stdout.flush()
             os._exit(0)
 
         guard = threading.Timer(max(5.0, budget - _elapsed()),
@@ -681,10 +710,21 @@ def main():
                 if e_art is not None:
                     print("[bench] secondary eval via pre-exported "
                           "artifact", file=sys.stderr)
-                e_compiled = e_fn.lower(
-                    trainer.head_params, trainer.backbone_params,
-                    trainer.backbone_stats, arrays["images"],
-                    arrays["verbs"], arrays["labels"], valid).compile()
+
+                def _e_lower_compile(fn):
+                    return fn.lower(
+                        trainer.head_params, trainer.backbone_params,
+                        trainer.backbone_stats, arrays["images"],
+                        arrays["verbs"], arrays["labels"], valid).compile()
+
+                try:
+                    e_compiled = _e_lower_compile(e_fn)
+                except Exception:  # noqa: BLE001 — same fallback rule as
+                    if e_art is None:    # the train artifact (ADVICE r4)
+                        raise
+                    print("[bench] eval artifact failed to lower/compile "
+                          "— live trace", file=sys.stderr)
+                    e_compiled = _e_lower_compile(trainer._eval_step)
 
                 def estep():
                     losses, _ = e_compiled(
@@ -728,7 +768,11 @@ def main():
         except Exception as e:  # noqa: BLE001 — never lose the train line
             out["secondary_error"] = str(e)[:200]
         guard.cancel()
-    print(json.dumps(out))
+    with _emit_lock:
+        if not _emitted[0]:
+            _emitted[0] = True
+            print(json.dumps(out))
+            sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -223,6 +223,40 @@ def _load_json(path):
         return json.load(f)
 
 
+#: rough backbone parameter counts (millions) for the HBM reserve estimate
+_BACKBONE_PARAMS_M = {
+    'resnet18': 11, 'resnet34': 21, 'resnet50': 25, 'resnet101': 44,
+    'resnet152': 60, 'mini': 1,
+    'vit_l14': 303, 'vit_l14_clip': 303, 'vit_b16': 86, 'vit_tiny': 6,
+}
+
+
+def _working_reserve(backbone: str, hidden: int, micro_batch: int,
+                     image_size: int, train_backbone: bool) -> int:
+    """HBM the train step needs BESIDE any --cache_device window arrays
+    (params + optimizer state + peak forward activations + the pipelined
+    uint8 gather outputs), scaled from the configuration instead of the
+    old flagship constant (ADVICE r4: a 4.5 GB constant sized for
+    resnet152@224 b768 under-reserves for ViT-L/336 or --train_backbone
+    and over-reserves for small probes).  Anchored to the measured
+    flagship point: resnet152@224, microbatch 768, frozen — ~4.5 GB
+    total → ~4.9 MB/img of transient forward activations."""
+    params_m = _BACKBONE_PARAMS_M.get(backbone, 60)
+    # GGNN head: 7 hidden^2 gate/update kernels + embeddings/classifiers
+    head_m = (7 * hidden * hidden + hidden * 3300) / 1e6
+    # f32 params; head carries adamax mu/nu too; +0.5 GB runtime slack
+    fixed = (params_m + 3 * head_m) * 4e6 + 500e6
+    act_per_img = 4.9e6 * (image_size / 224.0) ** 2
+    if backbone.startswith('vit'):
+        act_per_img *= {'vit_tiny': 0.2, 'vit_b16': 0.6}.get(backbone, 1.2)
+    if train_backbone:
+        # stored backward activations (remat reduces, stay conservative)
+        act_per_img *= 2.5
+        fixed += 3 * params_m * 4e6    # backbone grads + adamax mu/nu
+    gathered = 2 * micro_batch * 256 * 256 * 3   # two in-flight batches
+    return int(fixed + micro_batch * act_per_img + gathered)
+
+
 def _load_backbone(trainer, path: str) -> None:
     """Load backbone weights from msgpack or a torch .pth/.pt, sniffing the
     torch state-dict flavor: reference FCGGNN checkpoint, raw torchvision
@@ -549,7 +583,11 @@ def main(argv=None) -> None:
     # SRTPU_HBM_BYTES overrides the probed/assumed device capacity.
     _hbm_free = None
     if args.cache_device:
-        _reserve = 4_500_000_000        # measured flagship working set + margin
+        from situation_recognition_tpu.train import default_hidden as _dh
+
+        _reserve = _working_reserve(
+            args.backbone, _dh(args.backbone), batch, args.image_size,
+            args.train_backbone)
         if os.environ.get('SRTPU_HBM_BYTES'):
             _hbm_free = int(os.environ['SRTPU_HBM_BYTES'])
         else:
@@ -571,13 +609,13 @@ def main(argv=None) -> None:
             dataset.enable_decode_cache()
         if args.cache_device and split in device_cached:
             S = dataset.window_size
-            need = len(dataset.names) * S * S * 3
-            if need <= _hbm_free:
+            need_bytes = len(dataset.names) * S * S * 3
+            if need_bytes <= _hbm_free:
                 dataset.enable_window_cache()
-                _hbm_free -= need
+                _hbm_free -= need_bytes
             else:
                 print(f'[srtpu] --cache_device: {split} split '
-                      f'({need/1e9:.1f} GB of windows) exceeds the '
+                      f'({need_bytes/1e9:.1f} GB of windows) exceeds the '
                       f'remaining HBM budget ({_hbm_free/1e9:.1f} GB '
                       f'after working-set reserve) — streaming it '
                       f'instead', file=sys.stderr)

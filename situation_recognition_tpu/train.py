@@ -944,9 +944,17 @@ class Trainer:
 
     def _device_batches(self, loader):
         """Iterate (device_arrays, device_valid, host_batch, n) with the
-        NEXT batch's host→device transfer issued before the current batch is
-        consumed (double-buffered device_put; with JAX's async dispatch the
-        transfer overlaps the in-flight step's compute).
+        NEXT batches' host→device transfers issued ahead of consumption.
+
+        Single-process: a dedicated UPLOADER THREAD stages batches
+        (pad + ``device_put`` + cache gather) into a bounded queue
+        (``SRTPU_UPLOAD_DEPTH``, default 2) — ``device_put`` of a
+        streamed uint8 image batch serializes the whole transfer on the
+        calling thread through this rig's TPU tunnel, so staging from
+        the consumer thread would stall the step loop for the full
+        transfer time; from the uploader thread it overlaps the
+        in-flight steps' compute (the r4 streamed dev eval ran ~25x
+        under the device-resident band for exactly this reason).
 
         Datasets with ``enable_window_cache`` skip the per-batch pixel
         transfer entirely: the window array lives in HBM (uploaded once
@@ -955,30 +963,85 @@ class Trainer:
         are the (B,) indices/verbs/labels/flip sidecars.
 
         Sharded loaders (multi-process DP, ``ImsituLoader(shard=...)``)
-        yield local row blocks; those assemble into global arrays via
-        ``_assemble_sharded`` instead of ``_pad_batch``+``device_put``."""
-        pending = None
+        yield local row blocks, assembled into global arrays via
+        ``_assemble_sharded`` — INLINE on the consumer thread: every
+        process must stage batches in the same relative order as its
+        collective-bearing steps, and a per-process free-running thread
+        gives no such guarantee."""
         cache_dev = None
         ds = getattr(loader, "dataset", None)
         if ds is not None and getattr(ds, "window_cached", False):
             cache_dev = self._hbm_window_cache(ds)
-        for batch in loader:
+
+        def stage(batch):
             if "shard" in batch:
                 dev_arrays, valid_dev, n = self._assemble_sharded(batch)
-                dev = (dev_arrays, valid_dev, batch, n)
-            else:
-                arrays, valid, n = self._pad_batch(batch)
-                dev_arrays = {k: jax.device_put(v, self._bsh)
-                              for k, v in arrays.items()}
-                if cache_dev is not None:
-                    dev_arrays["images"] = self._cache_gather(
-                        cache_dev, dev_arrays.pop("indices"))
-                dev = (dev_arrays, jax.device_put(valid, self._bsh), batch, n)
+                return (dev_arrays, valid_dev, batch, n)
+            arrays, valid, n = self._pad_batch(batch)
+            dev_arrays = {k: jax.device_put(v, self._bsh)
+                          for k, v in arrays.items()}
+            if cache_dev is not None:
+                dev_arrays["images"] = self._cache_gather(
+                    cache_dev, dev_arrays.pop("indices"))
+            return (dev_arrays, jax.device_put(valid, self._bsh), batch, n)
+
+        if jax.process_count() > 1:
+            pending = None
+            for batch in loader:
+                dev = stage(batch)
+                if pending is not None:
+                    yield pending
+                pending = dev
             if pending is not None:
                 yield pending
-            pending = dev
-        if pending is not None:
-            yield pending
+            return
+
+        import queue as _queue
+        import threading
+
+        depth = max(1, int(os.environ.get("SRTPU_UPLOAD_DEPTH", "2")))
+        q: _queue.Queue = _queue.Queue(maxsize=depth)
+        stop = threading.Event()
+        _END = object()
+
+        def work():
+            try:
+                for batch in loader:
+                    item = stage(batch)
+                    while not stop.is_set():
+                        try:
+                            q.put(item, timeout=0.1)
+                            break
+                        except _queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
+                q.put(_END)
+            except BaseException as e:  # surfaced on the consumer thread
+                try:
+                    q.put(e, timeout=1.0)
+                except _queue.Full:
+                    pass
+
+        t = threading.Thread(target=work, name="srtpu-uploader", daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            # consumer may abandon mid-epoch (preemption raise): unblock
+            # the uploader so its loader iterator can also wind down
+            stop.set()
+            while not q.empty():
+                try:
+                    q.get_nowait()
+                except _queue.Empty:
+                    break
 
     # ------------------------------------------------------------ epoch API
 
@@ -1045,10 +1108,37 @@ class Trainer:
             acc = None
             micros = 0
 
+        # Software pipelining: dispatching step k and immediately blocking
+        # on ITS losses/top-k serializes the host (scoring + next dispatch
+        # + tunnel round-trip) with the device — measured ~100 ms/step of
+        # dead device time at full scale (r4 rehearsal: ~1,090 img/s vs
+        # the 3,200 device-resident band).  Instead, completed steps'
+        # host-side consumption (loss floats, top-k fetch, scoring) is
+        # deferred into a small in-flight window: while the host scores
+        # step k-d the device runs step k.  Depth 2 keeps one full step
+        # of slack on either side; snapshots/preemption flush the window
+        # first so every persisted state is consistent (scorer state
+        # covers exactly the dispatched steps).
+        from collections import deque
+
+        inflight = deque()
+        depth = max(0, int(os.environ.get("SRTPU_PIPELINE_DEPTH", "2")))
+
+        def _consume_one():
+            nonlocal num_batches, sums
+            losses_f, topk_f, verbs_h, labels_h, n_c = inflight.popleft()
+            losses_v = [float(x) for x in losses_f]
+            pv5, pn5, gt1 = (_fetch(x)[:n_c] for x in topk_f)
+            if timer:
+                timer.lap(n_c)
+            top1.add_point_indices(pv5[:, :1], verbs_h,
+                                   pn5[:, :, :1], labels_h, gt1)
+            top5.add_point_indices(pv5, verbs_h, pn5, labels_h)
+            sums += losses_v
+            num_batches += 1
+
         for arrays, valid, batch, n in self._device_batches(loader):
             key = jax.random.fold_in(self._dropout_base, self.step_count)
-            if timer:
-                timer.start()
             if accum == 1:
                 if self._ft:
                     (tp, self.opt_state, self.backbone_stats, losses,
@@ -1085,22 +1175,20 @@ class Trainer:
                 micros += 1
                 if micros == accum:
                     _apply_pending()
-            losses = [float(x) for x in losses]
-            # _fetch: np.asarray single-process; all-gather of the
-            # batch-sharded top-k rows in a multi-process world (every
-            # process then scores the full global batch identically)
-            pv5, pn5, gt1 = (_fetch(x)[:n] for x in topk)
-            if timer:
-                timer.stop(n)
+            # _fetch (inside _consume_one): np.asarray single-process;
+            # all-gather of the batch-sharded top-k rows in a
+            # multi-process world (every process then scores the full
+            # global batch identically).  verbs/labels sidecars are
+            # captured NOW — the host batch dict must not be retained by
+            # the in-flight window beyond what scoring needs.
             verbs_h = batch.get("verbs_global", batch["verbs"])[:n]
             labels_h = batch.get("labels_global", batch["labels"])[:n]
-            top1.add_point_indices(pv5[:, :1], verbs_h,
-                                   pn5[:, :, :1], labels_h, gt1)
-            top5.add_point_indices(pv5, verbs_h, pn5, labels_h)
-            sums += losses
-            num_batches += 1
+            inflight.append((losses, topk, verbs_h, labels_h, n))
             self.step_count += 1
             batch_idx += 1
+            while len(inflight) > depth:
+                _consume_one()
+
             def _mid():
                 return {
                     "batch_in_epoch": batch_idx,
@@ -1111,47 +1199,100 @@ class Trainer:
                     "num_batches": num_batches,
                 }
 
-            if (save_every and save_callback
-                    and num_batches % save_every == 0
-                    and micros == 0):
-                # with grad_accum, snapshots land only on optimizer-step
-                # boundaries — a mid-group snapshot would silently drop
-                # the accumulated gradients on resume
-                save_callback(_mid())
-            if (preempt is not None and micros == 0
-                    and _preempt_agreed(preempt)):
-                # same boundary rule as above; mid-group, keep running
-                # until the group's optimizer step lands.  The agreement
-                # collective runs every boundary (all ranks, symmetric)
-                # so multi-process ranks stop at the SAME step.
+            # dispatched count (consumed + in flight) — the pipelined
+            # equivalent of the old num_batches at this point in the loop
+            dispatched = num_batches + len(inflight)
+            want_save = (save_every and save_callback
+                         and dispatched % save_every == 0
+                         and micros == 0)
+            # with grad_accum, snapshots/stops land only on optimizer-step
+            # boundaries — a mid-group snapshot would silently drop the
+            # accumulated gradients on resume.  The agreement collective
+            # runs every boundary (all ranks, symmetric) so multi-process
+            # ranks stop at the SAME step.
+            want_stop = (preempt is not None and micros == 0
+                         and _preempt_agreed(preempt))
+            if want_save or want_stop:
+                # flush the pipeline first: a persisted snapshot's scorer
+                # state must cover exactly batch_in_epoch batches
+                while inflight:
+                    _consume_one()
                 if save_callback:
                     save_callback(_mid())
-                raise Preempted(epoch, batch_idx,
-                                saved=save_callback is not None)
+                if want_stop:
+                    raise Preempted(epoch, batch_idx,
+                                    saved=save_callback is not None)
+        while inflight:
+            _consume_one()
         # epoch ended mid-group: step on what accumulated (the tail
         # microbatches must not be silently discarded)
         _apply_pending()
         return top1, top5, tuple(sums / max(num_batches, 1))
 
-    def evaluate(self, loader, logging: bool = False):
+    def evaluate(self, loader, logging: bool = False, preempt=None):
         """Reference ``eval`` (sr.py:165-232): returns
-        (top1, top5, val_losses dict, avg_score)."""
+        (top1, top5, val_losses dict, avg_score).
+
+        Pipelined like ``train_epoch``: eval steps are dispatched ahead
+        of their host-side consumption, so streamed splits overlap the
+        batch upload (issued by the uploader thread) with the in-flight
+        steps' compute instead of serializing transfer → compute →
+        scoring per batch.
+
+        ``preempt`` (a ``threading.Event``): a SIGTERM landing during a
+        long eval (the full dev split is minutes of wall at scale) stops
+        BETWEEN batches with ``Preempted`` instead of deferring to the
+        end of the split — the r4 full-scale drill showed a mid-eval
+        SIGTERM otherwise overruns typical preemption grace windows.
+        The caller (``_fit_epochs``) persists the completed epoch and
+        re-runs the interrupted eval on resume."""
+        import time as _time
+
         top1 = ImsituScorer(self.encoder, 1, 3)
         top5 = ImsituScorer(self.encoder, 5, 3)
         sums = np.zeros(3)
         num_batches = 0
+        images = 0
+        t0 = _time.perf_counter()
+        from collections import deque
+
+        inflight = deque()
+        depth = max(0, int(os.environ.get("SRTPU_PIPELINE_DEPTH", "2")))
+
+        def _consume_one():
+            nonlocal num_batches, sums, images
+            losses_f, topk_f, verbs_h, labels_h, n_c = inflight.popleft()
+            pv5, pn5, gt1 = (_fetch(x)[:n_c] for x in topk_f)
+            top1.add_point_indices(pv5[:, :1], verbs_h,
+                                   pn5[:, :, :1], labels_h, gt1)
+            top5.add_point_indices(pv5, verbs_h, pn5, labels_h)
+            sums += [float(x) for x in losses_f]
+            num_batches += 1
+            images += n_c
+
         for arrays, valid, batch, n in self._device_batches(loader):
             losses, topk = self._eval_step(
                 self.head_params, self.backbone_params, self.backbone_stats,
                 arrays["images"], arrays["verbs"], arrays["labels"], valid)
-            pv5, pn5, gt1 = (_fetch(x)[:n] for x in topk)
             verbs_h = batch.get("verbs_global", batch["verbs"])[:n]
             labels_h = batch.get("labels_global", batch["labels"])[:n]
-            top1.add_point_indices(pv5[:, :1], verbs_h,
-                                   pn5[:, :, :1], labels_h, gt1)
-            top5.add_point_indices(pv5, verbs_h, pn5, labels_h)
-            sums += [float(x) for x in losses]
-            num_batches += 1
+            inflight.append((losses, topk, verbs_h, labels_h, n))
+            while len(inflight) > depth:
+                _consume_one()
+            if preempt is not None and _preempt_agreed(preempt):
+                # between-batch stop: nothing here mutates trainer state,
+                # so the caller can checkpoint the completed epoch and
+                # redo this eval cleanly after resume
+                raise Preempted(-1, num_batches + len(inflight))
+        while inflight:
+            _consume_one()
+        wall = _time.perf_counter() - t0
+        if images and wall > 0:
+            import sys as _sys
+
+            # observability (stderr — stdout stays reference-format)
+            print(f'[srtpu] eval: {images} img in {wall:.1f}s '
+                  f'({images / wall:.0f} img/s)', file=_sys.stderr)
         sums /= max(num_batches, 1)
         val_losses = {"verb_loss": sums[0], "nouns_loss": sums[1],
                       "gt_loss": sums[2]}
@@ -1312,6 +1453,44 @@ class Trainer:
 
         saver = saver or AsyncSaver()
 
+        def _epoch_ckpt(next_epoch):
+            return {"epoch": next_epoch,
+                    **{k: list(v) for k, v in histories.items()},
+                    **self.model_state_dict()}
+
+        if (dev_loader is not None and epoch > 0
+                and len(histories["val_avg_scores"])
+                < len(histories["avg_scores"])):
+            # The previous run was preempted MID-dev-eval: its training
+            # epoch completed and was checkpointed, but the val record is
+            # missing.  Complete it now so histories stay aligned (and
+            # keep_best still sees every epoch) before training continues.
+            print(f'[srtpu] completing the interrupted dev eval of epoch '
+                  f'{epoch - 1} (previous run stopped mid-eval)',
+                  file=sys.stderr)
+            try:
+                _, _, val_losses, val_avg = self.evaluate(
+                    dev_loader, logging=True, preempt=preempt)
+            except Preempted:
+                raise Preempted(epoch - 1, 0, saved=False)
+            histories["val_avg_scores"].append(val_avg)
+            histories["val_verb_losses"].append(val_losses["verb_loss"])
+            histories["val_nouns_losses"].append(val_losses["nouns_loss"])
+            if metrics_jsonl:
+                with open(metrics_jsonl, "a") as f:
+                    f.write(json.dumps({
+                        "epoch": epoch - 1, "catch_up_eval": True,
+                        "val_losses": val_losses, "val_mean": val_avg,
+                        "time": time.time()}) + "\n")
+            if save:
+                saver.save(os.path.join(folder, model_saving_name),
+                           _epoch_ckpt(epoch), background=async_save)
+                if keep_best and val_avg >= max(
+                        histories["val_avg_scores"][:-1], default=-1.0):
+                    saver.save(
+                        os.path.join(folder, model_saving_name + "_best"),
+                        _epoch_ckpt(epoch), background=async_save)
+
         for e in range(epoch, self.config.epochs):
             if _preempt_agreed(preempt):
                 # flagged outside the batch loop (during eval / between
@@ -1356,7 +1535,20 @@ class Trainer:
                           format_dict(top5_a, '{:.2f}', '5-'),
                           format_dict(gt, '{:.2f}', ''), avg_score, '-' * 50))
 
-            _, _, val_losses, val_avg = self.evaluate(dev_loader, logging=True)
+            try:
+                _, _, val_losses, val_avg = self.evaluate(
+                    dev_loader, logging=True, preempt=preempt)
+            except Preempted:
+                # SIGTERM mid-dev-eval (r4 drill's uncovered phase): the
+                # epoch's TRAINING is complete — persist it synchronously
+                # (we are exiting; async would still be joined, sync is
+                # simply unambiguous) with the val histories one entry
+                # short, then exit cleanly.  Resume detects the short val
+                # history and re-runs this eval first (catch-up above).
+                if save:
+                    saver.save(os.path.join(folder, model_saving_name),
+                               _epoch_ckpt(e + 1), background=False)
+                raise Preempted(e, 0, saved=save)
             histories["val_avg_scores"].append(val_avg)
             histories["val_verb_losses"].append(val_losses["verb_loss"])
             histories["val_nouns_losses"].append(val_losses["nouns_loss"])
@@ -1383,9 +1575,7 @@ class Trainer:
                     folder, model_saving_name + ".png"))
 
             if save:
-                ckpt = {"epoch": e + 1,
-                        **{k: list(v) for k, v in histories.items()},
-                        **self.model_state_dict()}
+                ckpt = _epoch_ckpt(e + 1)
                 saver.save(os.path.join(folder, model_saving_name), ckpt,
                            background=async_save)
                 if keep_best and val_avg >= max(

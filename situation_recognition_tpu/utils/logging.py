@@ -49,6 +49,26 @@ class StepTimer:
             self._time += dt
         return dt
 
+    def lap(self, num_images: int) -> float:
+        """Interval timing for PIPELINED loops (steps consumed out of
+        lockstep with their dispatch): each call records the time since
+        the previous ``lap`` as one step of ``num_images``.  The first
+        lap after a ``reset`` only arms the clock (compile/warmup of the
+        first step never pollutes the rate), and ``warmup_steps`` more
+        are skipped on top, mirroring ``start``/``stop``."""
+        now = time.perf_counter()
+        if self._last is None:
+            self._last = now
+            self._steps += 1
+            return 0.0
+        dt = now - self._last
+        self._last = now
+        self._steps += 1
+        if self._steps > self.warmup_steps:
+            self._images += num_images
+            self._time += dt
+        return dt
+
     @property
     def images_per_sec(self) -> float:
         return self._images / self._time if self._time > 0 else 0.0

@@ -15,12 +15,18 @@ subprocess claims the TPU tunnel exactly as bench.py does.  Skipped
 (not failed) when no TPU is reachable — these guards are for the chip
 rig; run `pytest -m xslow tests/test_perf_regression.py` there.
 
-Bands cite PERF.md (r3-final): train 3,201-3,220 img/s/chip at the
-parity config; GGNN masked ~13.4 ms vs fused ~12.0 ms (B=1536);
-ViT stream ~84 ms/step win vs per-block at the L/14 parity shape.
-Thresholds leave the tunnel's measured ±10% kernel-timing jitter
-(verify-skill r6 note) outside the failure region for the ratio guards
-by requiring only >= 1.0.
+Bands cite PERF.md.  r5 re-methodology (VERDICT r4 weak #2): the kernel
+A/B now measures DEVICE time via tools/perf_guard.py's scan-slope
+harness (K kernel iterations inside one jit, two rep counts, slope
+cancels the constant tunnel dispatch+sync overhead) — measured
+repeatability ~1% (masked read 12.23 then 12.20 ms across processes;
+a deliberately 2x-handicapped kernel read 20.79 vs 2x10.49=20.98
+expected).  That resolution makes real margins possible: the healthy
+GGNN ratio band is ~1.17, the hard floor 1.05 sits 11 sigma of jitter
+below it, and a genuine kernel regression to parity (ratio 1.0) FAILS
+instead of coin-flipping.  Per-kernel sanity bounds catch methodology
+breakage (a slope near 0 or wildly off-band means the harness, not the
+kernel, broke).
 """
 
 import json
@@ -96,18 +102,33 @@ def test_train_throughput_band(chip):
         f"allowed) — see PERF.md")
 
 
+# device-time bands measured r5 with the scan-slope harness (PERF.md r5):
+# GGNN fused 10.49 ms vs masked 12.23 ms (ratio 1.166, ~1% jitter).
+# Floors sit far above measurement noise and strictly below the healthy
+# band, so a pass is meaningful and a fail is a real regression.
+GGNN_RATIO_FLOOR = 1.05
+VIT_RATIO_FLOOR = 1.02
+
+
 def test_kernel_ratios(chip):
     p = subprocess.run([sys.executable, "tools/perf_guard.py"], cwd=REPO,
                        env=_chip_env(), capture_output=True, text=True,
-                       timeout=1500)
+                       timeout=2400)
     assert p.returncode == 0, p.stderr[-2000:]
     rec = _last_json_line(p.stdout)
-    assert rec["ggnn_ratio"] >= 1.0, (
-        f"fused Pallas GGNN lost to the masked XLA path: "
-        f"{rec['ggnn_pallas_ms']} ms vs {rec['ggnn_masked_ms']} ms — "
-        f"the kernel no longer pays for itself (PERF.md band: 12.0 vs "
-        f"13.4 ms)")
-    assert rec["vit_ratio"] >= 1.0, (
-        f"ViT stream stack lost to the per-block path: "
-        f"{rec['vit_stream_ms']} ms vs {rec['vit_block_ms']} ms "
-        f"(PERF.md: the stream stack exists because it wins)")
+    # methodology sanity: per-kernel DEVICE times in a plausible absolute
+    # band (the old per-call-synced harness read ~76 ms for a 12 ms
+    # kernel; a broken slope would read near 0 or tunnel-sized numbers)
+    assert 4.0 < rec["ggnn_pallas_ms"] < 40.0, rec
+    assert 4.0 < rec["ggnn_masked_ms"] < 40.0, rec
+    assert rec["ggnn_ratio"] >= GGNN_RATIO_FLOOR, (
+        f"fused Pallas GGNN no longer clears the masked XLA path by the "
+        f"recorded margin: {rec['ggnn_pallas_ms']} ms vs "
+        f"{rec['ggnn_masked_ms']} ms, ratio {rec['ggnn_ratio']} < "
+        f"{GGNN_RATIO_FLOOR} (healthy band ~1.17, jitter ~1% — this is a "
+        f"real regression, see PERF.md r5)")
+    assert rec["vit_ratio"] >= VIT_RATIO_FLOOR, (
+        f"ViT stream stack lost its margin over the per-block path: "
+        f"{rec['vit_stream_ms']} ms vs {rec['vit_block_ms']} ms, ratio "
+        f"{rec['vit_ratio']} < {VIT_RATIO_FLOOR} (PERF.md: the stream "
+        f"stack exists because it wins)")

@@ -453,3 +453,82 @@ def test_fit_async_save_checkpoints_and_resumes(encoder, loaders, tmp_path,
     for a, b in zip(np.asarray(tr.head_params["role_emb"]),
                     np.asarray(tr2.head_params["role_emb"])):
         np.testing.assert_array_equal(a, b)
+
+
+def test_evaluate_preempt_raises_between_batches(encoder, loaders):
+    """VERDICT r4 weak #3: a SIGTERM during a long dev eval must stop
+    between batches instead of deferring to the end of the split.
+    evaluate(preempt=<set event>) raises Preempted after the first
+    batch's dispatch; nothing in eval mutates trainer state, so the
+    caller can checkpoint and redo the eval cleanly."""
+    import threading
+
+    from situation_recognition_tpu.train import Preempted
+
+    _, dev_loader = loaders
+    cfg = TrainerConfig(hidden=64, batch_size=8, backbone="mini",
+                        compute_dtype=jnp.float32, lr=0.01)
+    tr = Trainer(encoder, cfg)
+    loader = ImsituLoader(dev_loader.dataset, batch_size=8, shuffle=False)
+
+    ev = threading.Event()
+    ev.set()
+    with pytest.raises(Preempted):
+        tr.evaluate(loader, preempt=ev)
+    # without the flag the same eval completes
+    top1, _, losses, _ = tr.evaluate(loader)
+    assert len(top1) == 5
+    assert all(np.isfinite(v) for v in losses.values())
+
+
+def test_sigterm_mid_eval_checkpoints_and_resume_catches_up(
+        encoder, loaders, tmp_path, capsys):
+    """The r4 full-scale drill's uncovered phase: SIGTERM landing during
+    the per-epoch dev eval.  fit must (a) persist the COMPLETED epoch
+    with the val histories one entry short and exit cleanly, and (b) on
+    resume, complete the missing val record (catch-up eval) before
+    training continues, leaving aligned histories."""
+    import os as _os
+    import signal
+
+    from situation_recognition_tpu.utils.checkpoint import load_checkpoint
+
+    train_loader, dev_loader = loaders
+    cfg = TrainerConfig(hidden=64, batch_size=8, backbone="mini",
+                        compute_dtype=jnp.float32, lr=0.01, epochs=2)
+    tr = Trainer(encoder, cfg)
+    calls = []
+    real = tr._eval_step
+
+    def wrapped(*a, **k):
+        calls.append(1)
+        if len(calls) == 1:
+            # delivered on the main thread: fit's SIGTERM handler sets
+            # the preempt flag, checked after this batch's dispatch
+            _os.kill(_os.getpid(), signal.SIGTERM)
+        return real(*a, **k)
+
+    tr._eval_step = wrapped
+    tr.fit(train_loader, dev_loader, "mideval", folder=str(tmp_path),
+           plot=False, handle_sigterm=True)
+    capsys.readouterr()
+
+    ck = load_checkpoint(str(tmp_path / "mideval"))
+    assert ck["epoch"] == 1                      # epoch 0 training complete
+    assert len(ck["avg_scores"]) == 1
+    assert len(ck["val_avg_scores"]) == 0        # eval was interrupted
+
+    # resume: catch-up eval completes epoch 0's val record, then epoch 1
+    tr2 = Trainer(encoder, cfg)
+    tr2.load_model_state(ck)
+    fit_ckpt = {k: v for k, v in ck.items()
+                if k not in ("head_params", "backbone_params",
+                             "backbone_stats", "opt_state")}
+    tr2.fit(train_loader, dev_loader, "mideval", folder=str(tmp_path),
+            checkpoint=fit_ckpt, plot=False, keep_best=True)
+    capsys.readouterr()
+    final = load_checkpoint(str(tmp_path / "mideval"))
+    assert final["epoch"] == 2
+    assert len(final["avg_scores"]) == 2
+    assert len(final["val_avg_scores"]) == 2     # catch-up + epoch 1
+    assert os.path.exists(str(tmp_path / "mideval_best"))

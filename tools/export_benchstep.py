@@ -66,7 +66,14 @@ def source_fingerprint() -> str:
 
 def bench_config_key(mode: str, batch: int, backbone: str,
                      image_size: int, frozen_bn: str) -> str:
-    return f"{mode}-{backbone}-b{batch}-s{image_size}-bn{frozen_bn}"
+    # device count is baked into the exported module's shardings
+    # (len(jax.devices()) at export); computed live on BOTH sides, so an
+    # artifact exported on a different-chip-count rig reads as stale
+    # instead of failing shape/sharding checks at compile (ADVICE r4)
+    import jax
+
+    return (f"{mode}-{backbone}-b{batch}-s{image_size}-bn{frozen_bn}"
+            f"-d{jax.device_count()}")
 
 
 def register_tree_serialization(*trees) -> None:
