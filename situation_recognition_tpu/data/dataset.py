@@ -131,7 +131,7 @@ class ImsituDataset:
     def packed(self) -> bool:
         return getattr(self, "_packed", None) is not None
 
-    def enable_window_cache(self) -> None:
+    def enable_window_cache(self, max_rows: Optional[int] = None) -> None:
         """Precompute every host window once and mark the dataset for
         DEVICE-resident batching (``--cache_device``): the trainer uploads
         the whole (N, S, S, 3) uint8 window array to HBM once and builds
@@ -154,9 +154,20 @@ class ImsituDataset:
         if self._decoded_cache is not None:
             raise ValueError("enable_window_cache and enable_decode_cache "
                              "are alternatives; pick one")
+        # PARTIAL-PREFIX mode (max_rows — VERDICT r4 #4): only rows
+        # [0, max_rows) are cached; the loader serves batches made
+        # entirely of cached rows as on-device gathers and falls back to
+        # pixel batches for the rest.  For an UNSHUFFLED eval split the
+        # row order is the batch order, so a partial cache of fraction f
+        # removes ~f of the split's host->device bytes (only the one
+        # boundary batch mixes).  Shuffled (train) loaders mix cached
+        # and uncached rows in nearly every batch, so partial caching is
+        # an eval-split tool — the CLI only applies it to dev/test.
+        rows = len(self.names) if max_rows is None \
+            else max(0, min(int(max_rows), len(self.names)))
         S = self.window_size
-        cache = np.empty((len(self.names), S, S, 3), dtype=np.uint8)
-        for i in range(len(self.names)):
+        cache = np.empty((rows, S, S, 3), dtype=np.uint8)
+        for i in range(rows):
             if self.train:
                 img = normalize_short_side(self.load_image(i))
                 if img.shape[:2] != (S, S):
@@ -169,6 +180,8 @@ class ImsituDataset:
             else:
                 cache[i] = self.load_window(i, None)
         self._window_cache = cache
+        #: rows [0, window_cache_rows) are servable as device gathers
+        self.window_cache_rows = rows
 
     @property
     def window_cached(self) -> bool:
@@ -270,7 +283,12 @@ class ImsituLoader:
         B = len(indices)
         R = ds.encoder.max_role_count
         if ds.window_cached:
-            return self._make_batch_indices(indices)
+            rows = getattr(ds, "window_cache_rows", len(ds))
+            if rows >= len(ds) or int(np.max(indices)) < rows:
+                return self._make_batch_indices(indices)
+            # partial-prefix cache, batch touches uncached rows: fall
+            # through to a pixel batch (correctness over cleverness —
+            # unshuffled eval splits hit this only at the boundary)
         # re-checked per batch (not only at construction): enable_packed may
         # legally be called after the loader exists, and the packed path
         # must win over the native JPEG decoder in that order too

@@ -65,18 +65,34 @@ class AsyncSaver:
         self._thread = None
         self._error = None
 
-    def save(self, path: str, state: dict, background: bool = True) -> None:
+    def save(self, path: str, state: dict, background: bool = True,
+             copy_to: str = None) -> None:
+        """``copy_to``: also place the same checkpoint at a second path
+        via a FILE COPY after the write lands (keep_best's use) — the
+        r5 full-scale run measured the ~0.9 GB msgpack serialize as a
+        GIL-heavy multi-second cost that visibly slowed the next epoch's
+        step loop on this 1-core host; best-epochs used to pay it twice."""
         from situation_recognition_tpu.utils.checkpoint import save_checkpoint
 
         self.join()
-        if not background:
+
+        def write():
             save_checkpoint(path, state)
+            if copy_to:
+                import shutil
+
+                tmp = copy_to + ".tmp"
+                shutil.copyfile(path, tmp)
+                os.replace(tmp, copy_to)
+
+        if not background:
+            write()
             return
         import threading
 
         def run():
             try:
-                save_checkpoint(path, state)
+                write()
             except BaseException as e:           # surfaced on next join
                 self._error = e
 
@@ -980,7 +996,10 @@ class Trainer:
             arrays, valid, n = self._pad_batch(batch)
             dev_arrays = {k: jax.device_put(v, self._bsh)
                           for k, v in arrays.items()}
-            if cache_dev is not None:
+            # a partial-prefix window cache yields BOTH kinds of batch
+            # in one epoch: index batches (gathered from HBM) and pixel
+            # batches (rows past the cached prefix, uploaded)
+            if cache_dev is not None and "indices" in dev_arrays:
                 dev_arrays["images"] = self._cache_gather(
                     cache_dev, dev_arrays.pop("indices"))
             return (dev_arrays, jax.device_put(valid, self._bsh), batch, n)
@@ -1123,14 +1142,25 @@ class Trainer:
 
         inflight = deque()
         depth = max(0, int(os.environ.get("SRTPU_PIPELINE_DEPTH", "2")))
+        trace = os.environ.get("SRTPU_STEP_TRACE") == "1"
+        import time as _time
 
         def _consume_one():
             nonlocal num_batches, sums
             losses_f, topk_f, verbs_h, labels_h, n_c = inflight.popleft()
+            t0 = _time.perf_counter() if trace else 0.0
             losses_v = [float(x) for x in losses_f]
+            t1 = _time.perf_counter() if trace else 0.0
             pv5, pn5, gt1 = (_fetch(x)[:n_c] for x in topk_f)
-            if timer:
-                timer.lap(n_c)
+            lap = timer.lap(n_c) if timer else 0.0
+            if trace and num_batches < 16:
+                import sys as _sys
+
+                t2 = _time.perf_counter()
+                print(f"[trace] b{num_batches}: loss_block="
+                      f"{(t1 - t0) * 1e3:.0f}ms topk_fetch="
+                      f"{(t2 - t1) * 1e3:.0f}ms lap={lap * 1e3:.0f}ms",
+                      file=_sys.stderr)
             top1.add_point_indices(pv5[:, :1], verbs_h,
                                    pn5[:, :, :1], labels_h, gt1)
             top5.add_point_indices(pv5, verbs_h, pn5, labels_h)
@@ -1138,6 +1168,7 @@ class Trainer:
             num_batches += 1
 
         for arrays, valid, batch, n in self._device_batches(loader):
+            td = _time.perf_counter() if trace else 0.0
             key = jax.random.fold_in(self._dropout_base, self.step_count)
             if accum == 1:
                 if self._ft:
@@ -1175,6 +1206,12 @@ class Trainer:
                 micros += 1
                 if micros == accum:
                     _apply_pending()
+            if trace and batch_idx - start_batch < 16:
+                import sys as _sys
+
+                print(f"[trace] b{batch_idx - start_batch}: dispatch="
+                      f"{(_time.perf_counter() - td) * 1e3:.0f}ms "
+                      f"inflight={len(inflight)}", file=_sys.stderr)
             # _fetch (inside _consume_one): np.asarray single-process;
             # all-gather of the batch-sharded top-k rows in a
             # multi-process world (every process then scores the full
@@ -1483,13 +1520,13 @@ class Trainer:
                         "val_losses": val_losses, "val_mean": val_avg,
                         "time": time.time()}) + "\n")
             if save:
+                best = keep_best and val_avg >= max(
+                    histories["val_avg_scores"][:-1], default=-1.0)
                 saver.save(os.path.join(folder, model_saving_name),
-                           _epoch_ckpt(epoch), background=async_save)
-                if keep_best and val_avg >= max(
-                        histories["val_avg_scores"][:-1], default=-1.0):
-                    saver.save(
-                        os.path.join(folder, model_saving_name + "_best"),
-                        _epoch_ckpt(epoch), background=async_save)
+                           _epoch_ckpt(epoch), background=async_save,
+                           copy_to=os.path.join(
+                               folder, model_saving_name + "_best")
+                           if best else None)
 
         for e in range(epoch, self.config.epochs):
             if _preempt_agreed(preempt):
@@ -1576,16 +1613,17 @@ class Trainer:
 
             if save:
                 ckpt = _epoch_ckpt(e + 1)
+                best = keep_best and val_avg >= max(
+                    histories["val_avg_scores"][:-1], default=-1.0)
+                # >= so the first epoch always seeds the best file; [:-1]
+                # includes any resumed history, so a restart never
+                # demotes an earlier better epoch.  The best file is a
+                # COPY of the epoch write (one serialize, not two)
                 saver.save(os.path.join(folder, model_saving_name), ckpt,
-                           background=async_save)
-                if keep_best and val_avg >= max(
-                        histories["val_avg_scores"][:-1], default=-1.0):
-                    # >= so the first epoch always seeds the best file;
-                    # [:-1] includes any resumed history, so a restart
-                    # never demotes an earlier better epoch
-                    saver.save(
-                        os.path.join(folder, model_saving_name + "_best"),
-                        ckpt, background=async_save)
+                           background=async_save,
+                           copy_to=os.path.join(
+                               folder, model_saving_name + "_best")
+                           if best else None)
 
     @staticmethod
     def _plot(histories, path):
@@ -1607,9 +1645,21 @@ class Trainer:
     # ----------------------------------------------------------- state mgmt
 
     def model_state_dict(self) -> dict:
+        # frozen mode never mutates backbone_params after construction /
+        # restore, so its ~240 MB host copy is fetched ONCE and reused —
+        # per-epoch checkpointing otherwise pays a multi-second d2h
+        # transfer per epoch for bytes that cannot have changed (the r5
+        # full-scale run measured ~35 s/epoch of checkpoint d2h+serialize
+        # against a ~25 s train phase).  Fine-tuning invalidates per call.
+        if getattr(self, "_bb_host_src", None) is not self.backbone_params:
+            # keyed on the device tree's identity: any reassignment
+            # (checkpoint restore, _load_backbone, fine-tune step)
+            # invalidates the host copy automatically
+            self._bb_host = jax.device_get(self.backbone_params)
+            self._bb_host_src = self.backbone_params
         return {
             "head_params": jax.device_get(self.head_params),
-            "backbone_params": jax.device_get(self.backbone_params),
+            "backbone_params": self._bb_host,
             "backbone_stats": jax.device_get(self.backbone_stats),
             "opt_state": jax.device_get(
                 jax.tree.map(np.asarray, self.opt_state)),

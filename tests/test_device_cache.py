@@ -167,3 +167,33 @@ def test_hbm_cache_chunked_upload_matches_single_put(encoder, monkeypatch):
     np.testing.assert_array_equal(np.asarray(dev), host)
     # memoized: same dataset + same host array -> same device array
     assert trainer._hbm_window_cache(ds) is dev
+
+
+def test_partial_prefix_cache_eval_parity(square_setup):
+    """VERDICT r4 #4: a partial-prefix window cache (rows [0, K) in HBM,
+    the rest streamed as pixel batches) must produce IDENTICAL eval
+    results to the uncached path, with index batches below the prefix
+    and pixel batches at/after it."""
+    img_dir, ann, enc = square_setup
+    cfg = TrainerConfig(hidden=64, batch_size=8, backbone="mini",
+                        compute_dtype=jnp.float32)
+    # 5 images, loader batch 2, prefix 2 -> batch 0 gathered, 1-2 pixels
+    part = ImsituDataset(img_dir, ann, enc, train=False)
+    part.enable_window_cache(max_rows=2)
+    assert part.window_cache_rows == 2
+    loader = ImsituLoader(part, batch_size=2, shuffle=False)
+    kinds = [("indices" in b, "images" in b) for b in loader]
+    assert kinds == [(True, False), (False, True), (False, True)]
+
+    live = ImsituDataset(img_dir, ann, enc, train=False)
+    tr_a = Trainer(enc, cfg)
+    tr_b = Trainer(enc, cfg)
+    top1_a, _, losses_a, _ = tr_a.evaluate(
+        ImsituLoader(part, batch_size=2, shuffle=False))
+    top1_b, _, losses_b, _ = tr_b.evaluate(
+        ImsituLoader(live, batch_size=2, shuffle=False, decoder="python"))
+    for k in losses_a:
+        np.testing.assert_allclose(losses_a[k], losses_b[k], rtol=0, atol=0)
+    assert (top1_a.get_average_results_both()
+            == top1_b.get_average_results_both())
+    assert len(top1_a) == len(part)

@@ -107,7 +107,8 @@ def test_train_throughput_band(chip):
 # Floors sit far above measurement noise and strictly below the healthy
 # band, so a pass is meaningful and a fail is a real regression.
 GGNN_RATIO_FLOOR = 1.05
-VIT_RATIO_FLOOR = 1.02
+VIT_RATIO_FLOOR = 1.05    # healthy band ~1.19 (stream 46.99 ms vs
+#                           block 55.74 ms, r5 slope harness)
 
 
 def test_kernel_ratios(chip):
