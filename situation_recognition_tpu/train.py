@@ -71,19 +71,77 @@ class AsyncSaver:
         via a FILE COPY after the write lands (keep_best's use) — the
         r5 full-scale run measured the ~0.9 GB msgpack serialize as a
         GIL-heavy multi-second cost that visibly slowed the next epoch's
-        step loop on this 1-core host; best-epochs used to pay it twice."""
+        step loop on this 1-core host; best-epochs used to pay it twice.
+
+        ``state`` may contain DEVICE arrays (``model_state_snapshot``):
+        the background path then moves BOTH expensive halves of a save
+        off the training thread — the d2h fetch runs on the writer
+        thread (socket-bound, GIL released) and the msgpack serialize
+        runs in a FORKED child (COW memory, no GIL at all), so an epoch
+        checkpoint costs the step loop nothing.  The synchronous path
+        (preemption exits) fetches and writes inline."""
         from situation_recognition_tpu.utils.checkpoint import save_checkpoint
 
         self.join()
 
         def write():
-            save_checkpoint(path, state)
-            if copy_to:
-                import shutil
+            import jax
 
-                tmp = copy_to + ".tmp"
-                shutil.copyfile(path, tmp)
-                os.replace(tmp, copy_to)
+            host = jax.device_get(state)
+
+            def write_inline():
+                save_checkpoint(path, host)
+                if copy_to:
+                    import shutil
+
+                    tmp = copy_to + ".tmp"
+                    shutil.copyfile(path, tmp)
+                    os.replace(tmp, copy_to)
+
+            if (os.environ.get("SRTPU_CKPT_FORK", "1") == "1"
+                    and hasattr(os, "fork")):
+                import time as _t
+                import warnings as _w
+
+                with _w.catch_warnings():
+                    # fork-in-threaded-process is deliberate and
+                    # constrained: the child only runs msgpack + file
+                    # IO over COW pages, never jax/the tunnel/locks
+                    # other threads hold — and the watchdog below
+                    # converts the residual malloc-arena-class hazard
+                    # into a kill + in-thread fallback, not a hang
+                    _w.simplefilter("ignore")
+                    pid = os.fork()
+                if pid == 0:
+                    try:
+                        write_inline()
+                        os._exit(0)
+                    except BaseException:
+                        os._exit(13)
+                deadline = _t.monotonic() + float(
+                    os.environ.get("SRTPU_CKPT_FORK_TIMEOUT", "600"))
+                while True:
+                    done, status = os.waitpid(pid, os.WNOHANG)
+                    if done:
+                        break
+                    if _t.monotonic() > deadline:
+                        import signal as _sig
+                        import sys as _sys
+
+                        os.kill(pid, _sig.SIGKILL)
+                        os.waitpid(pid, 0)
+                        print("[srtpu] checkpoint writer child timed "
+                              "out (fork hazard?) — writing in-thread",
+                              file=_sys.stderr)
+                        write_inline()
+                        return
+                    _t.sleep(0.05)
+                if status != 0:
+                    raise OSError(
+                        f"checkpoint writer subprocess failed for {path} "
+                        f"(exit status {status >> 8 or status})")
+                return
+            write_inline()
 
         if not background:
             write()
@@ -710,6 +768,64 @@ class Trainer:
             return (acc, new_stats, (vloss, nloss, gloss),
                     self._topk(outs))
 
+        accum_n = max(1, int(self.config.grad_accum))
+
+        def grad_accum_final_step(head_params, opt_state, acc,
+                                  backbone_params, backbone_stats,
+                                  dropout_key, images, flip, verbs,
+                                  labels, valid):
+            # the accum group's LAST microbatch fused with the optimizer
+            # apply in ONE program: grads + accumulate + mean + clip +
+            # adamax + a ZEROED accumulator for the next group.  The
+            # separate apply/zero dispatches used to drain the dispatch
+            # pipeline at every group boundary (r5 step trace: ~195 ms
+            # steady laps punctuated by a ~1.5 s stall across each
+            # boundary — 3 slow dispatches + the count scalar's host
+            # round trip); fusing removes all of it.  Math is identical
+            # to grad_accum_step + apply_accum_step at count=accum_n.
+            feats, new_stats = self._features(
+                backbone_params, backbone_stats, images, flip, True)
+
+            def loss_fn(hp):
+                pred_verb, pred_nouns = self.head.apply(
+                    {"params": hp}, feats, self.role_ids, self.role_mask,
+                    train=True, rngs={"dropout": dropout_key},
+                    method=self.head.predict_train)
+                vloss = _masked_verb_loss(pred_verb, verbs, valid)
+                nloss = _masked_nouns_loss(pred_nouns, labels, L, valid)
+                return vloss + nloss, (pred_verb, pred_nouns, vloss, nloss)
+
+            grads, (pred_verb, pred_nouns, vloss, nloss) = jax.grad(
+                loss_fn, has_aux=True)(head_params)
+            gt_pred_nouns = self.head.apply(
+                {"params": head_params}, feats, verbs,
+                self.role_ids, self.role_mask, train=True,
+                rngs={"dropout": jax.random.fold_in(dropout_key, 1)},
+                method=self.head.predict_nouns)
+            gloss = _masked_nouns_loss(gt_pred_nouns, labels, L, valid)
+            total = jax.tree.map(jnp.add, acc, grads)
+            mean = jax.tree.map(lambda g: g / jnp.float32(accum_n), total)
+            updates, opt_state = tx.update(mean, opt_state, head_params)
+            head_params = optax.apply_updates(head_params, updates)
+            zero = jax.tree.map(jnp.zeros_like, total)
+            outs = (pred_verb, pred_nouns, gt_pred_nouns)
+            return (head_params, opt_state, zero, new_stats,
+                    (vloss, nloss, gloss), self._topk(outs))
+
+        def grad_accum_final_step_ft(tp, opt_state, acc, backbone_stats,
+                                     dropout_key, images, flip, verbs,
+                                     labels, valid):
+            grads, new_stats, losses, outs = _ft_loss_and_grads(
+                tp, backbone_stats, dropout_key, images, flip, verbs,
+                labels, valid)
+            total = jax.tree.map(jnp.add, acc, grads)
+            mean = jax.tree.map(lambda g: g / jnp.float32(accum_n), total)
+            updates, opt_state = tx.update(mean, opt_state, tp)
+            tp = optax.apply_updates(tp, updates)
+            zero = jax.tree.map(jnp.zeros_like, total)
+            return (tp, opt_state, zero, new_stats, losses,
+                    self._topk(outs))
+
         def apply_accum_step(head_params, opt_state, acc, count):
             # mean of the microbatch gradients; clip-then-adamax on the
             # mean exactly as the fused train_step does on its one batch.
@@ -790,6 +906,20 @@ class Trainer:
             apply_accum_step, donate_argnums=(0, 1, 2))
         self._zero_grads = jax.jit(
             lambda hp: jax.tree.map(jnp.zeros_like, hp))
+        if accum_n > 1:
+            self._grad_accum_final = jax.jit(
+                grad_accum_final_step,
+                in_shardings=(None, None, None, repl, repl, repl,
+                              bsh, bsh, bsh, bsh, bsh),
+                donate_argnums=(0, 1, 2, 4),
+            )
+            if self._ft:
+                self._grad_accum_final_ft = jax.jit(
+                    grad_accum_final_step_ft,
+                    in_shardings=(None, None, None, repl,
+                                  bsh, bsh, bsh, bsh, bsh),
+                    donate_argnums=(0, 1, 2, 3),
+                )
         if self._ft:
             self._train_step_ft = jax.jit(
                 train_step_ft,
@@ -1190,12 +1320,36 @@ class Trainer:
             else:
                 if acc is None:
                     acc = self._zero_grads(self._trainable())
-                if self._ft:
+                if micros == accum - 1:
+                    # group's last microbatch: ONE fused program does
+                    # grads + accumulate + optimizer apply and hands back
+                    # a zeroed accumulator — no separate apply/zero
+                    # dispatches to drain the pipeline at the boundary
+                    if self._ft:
+                        (tp, self.opt_state, acc, self.backbone_stats,
+                         losses, topk) = self._grad_accum_final_ft(
+                            self._trainable(), self.opt_state, acc,
+                            self.backbone_stats, key, arrays["images"],
+                            arrays["flip"], arrays["verbs"],
+                            arrays["labels"], valid)
+                        self.head_params = tp["head"]
+                        self.backbone_params = tp["backbone"]
+                    else:
+                        (self.head_params, self.opt_state, acc,
+                         self.backbone_stats, losses, topk) = \
+                            self._grad_accum_final(
+                                self.head_params, self.opt_state, acc,
+                                self.backbone_params, self.backbone_stats,
+                                key, arrays["images"], arrays["flip"],
+                                arrays["verbs"], arrays["labels"], valid)
+                    micros = 0
+                elif self._ft:
                     (acc, self.backbone_stats, losses, topk) = \
                         self._grad_accum_step_ft(
                             self._trainable(), acc, self.backbone_stats,
                             key, arrays["images"], arrays["flip"],
                             arrays["verbs"], arrays["labels"], valid)
+                    micros += 1
                 else:
                     (acc, self.backbone_stats, losses, topk) = \
                         self._grad_accum_step(
@@ -1203,9 +1357,7 @@ class Trainer:
                             self.backbone_stats, key, arrays["images"],
                             arrays["flip"], arrays["verbs"],
                             arrays["labels"], valid)
-                micros += 1
-                if micros == accum:
-                    _apply_pending()
+                    micros += 1
             if trace and batch_idx - start_batch < 16:
                 import sys as _sys
 
@@ -1431,7 +1583,7 @@ class Trainer:
             saver.save(ckpt_path, {
                 "epoch": self._current_epoch,
                 **{k: list(v) for k, v in histories.items()},
-                "mid": mid, **self.model_state_dict()},
+                "mid": mid, **self.model_state_snapshot()},
                 background=async_save)
 
         import sys
@@ -1491,9 +1643,11 @@ class Trainer:
         saver = saver or AsyncSaver()
 
         def _epoch_ckpt(next_epoch):
+            # device-copy snapshot: the d2h fetch + serialize happen on
+            # the saver's writer thread / forked child, not here
             return {"epoch": next_epoch,
                     **{k: list(v) for k, v in histories.items()},
-                    **self.model_state_dict()}
+                    **self.model_state_snapshot()}
 
         if (dev_loader is not None and epoch > 0
                 and len(histories["val_avg_scores"])
@@ -1667,6 +1821,33 @@ class Trainer:
             # resumes (the mid-epoch save path already carries it; without
             # this, a resumed run replays epoch 0's dropout masks and
             # diverges from the uninterrupted trajectory)
+            "step_count": self.step_count,
+        }
+
+    def model_state_snapshot(self) -> dict:
+        """Checkpoint contents with the MUTABLE trees as fresh DEVICE
+        copies (plus the cached frozen-backbone host tree): safe to hand
+        to ``AsyncSaver.save`` for background d2h+serialize while
+        training continues — the next step's buffer donation cannot
+        touch these private copies.  The d2d copy is ~1 ms for the
+        ~0.4 GB of head/opt state; the old host-side
+        ``model_state_dict`` path serialized ~15-20 s of d2h through
+        this rig's tunnel into the epoch boundary."""
+        if getattr(self, "_snap", None) is None:
+            # x*1 (exact for every IEEE value incl. -0.0/NaN and for
+            # ints) forces materialized output buffers; jit(identity)
+            # may alias its input, which donation would then invalidate
+            self._snap = jax.jit(
+                lambda t: jax.tree.map(lambda x: x * jnp.ones((), x.dtype),
+                                       t))
+        if getattr(self, "_bb_host_src", None) is not self.backbone_params:
+            self._bb_host = jax.device_get(self.backbone_params)
+            self._bb_host_src = self.backbone_params
+        return {
+            "head_params": self._snap(self.head_params),
+            "backbone_params": self._bb_host,
+            "backbone_stats": self._snap(self.backbone_stats),
+            "opt_state": self._snap(self.opt_state),
             "step_count": self.step_count,
         }
 
