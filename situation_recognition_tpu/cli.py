@@ -232,7 +232,8 @@ _BACKBONE_PARAMS_M = {
 
 
 def _working_reserve(backbone: str, hidden: int, micro_batch: int,
-                     image_size: int, train_backbone: bool) -> int:
+                     image_size: int, train_backbone: bool,
+                     remat: bool = False) -> int:
     """HBM the train step needs BESIDE any --cache_device window arrays
     (params + optimizer state + peak forward activations + the pipelined
     uint8 gather outputs), scaled from the configuration instead of the
@@ -250,8 +251,12 @@ def _working_reserve(backbone: str, hidden: int, micro_batch: int,
     if backbone.startswith('vit'):
         act_per_img *= {'vit_tiny': 0.2, 'vit_b16': 0.6}.get(backbone, 1.2)
     if train_backbone:
-        # stored backward activations (remat reduces, stay conservative)
-        act_per_img *= 2.5
+        # stored backward activations: a full un-rematerialized
+        # ResNet-152 backward OOM'd a 16 GB chip at microbatch 384 with
+        # only 4.3 GB of caches resident (r5), so the no-remat factor is
+        # deliberately harsh; --remat_backbone stores block boundaries
+        # only
+        act_per_img *= 2.5 if remat else 6.0
         fixed += 3 * params_m * 4e6    # backbone grads + adamax mu/nu
     gathered = 2 * micro_batch * 256 * 256 * 3   # two in-flight batches
     return int(fixed + micro_batch * act_per_img + gathered)
@@ -587,7 +592,7 @@ def main(argv=None) -> None:
 
         _reserve = _working_reserve(
             args.backbone, _dh(args.backbone), batch, args.image_size,
-            args.train_backbone)
+            args.train_backbone, remat=args.remat_backbone)
         if os.environ.get('SRTPU_HBM_BYTES'):
             _hbm_free = int(os.environ['SRTPU_HBM_BYTES'])
         else:

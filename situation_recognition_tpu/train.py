@@ -916,7 +916,7 @@ class Trainer:
             if self._ft:
                 self._grad_accum_final_ft = jax.jit(
                     grad_accum_final_step_ft,
-                    in_shardings=(None, None, None, repl,
+                    in_shardings=(None, None, None, repl, repl,
                                   bsh, bsh, bsh, bsh, bsh),
                     donate_argnums=(0, 1, 2, 3),
                 )

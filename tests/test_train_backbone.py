@@ -157,6 +157,28 @@ def test_grad_accum_ft_matches_big_batch(encoder):
     assert _max_delta(tr_big.backbone_params, tr_acc.backbone_params) < 1e-5
     assert _max_delta(tr_big.head_params, tr_acc.head_params) < 1e-5
 
+    # the FUSED group-final ft program (grads + accumulate + apply in one
+    # jit — the r5 boundary-drain fix) must land on the same params
+    tr_f = Trainer(encoder, cfg_acc)
+    accf = tr_f._zero_grads(tr_f._trainable())
+    m0 = {k: v[:8] for k, v in big.items()}
+    m1 = {k: v[8:] for k, v in big.items()}
+    accf, tr_f.backbone_stats, _, _ = tr_f._grad_accum_step_ft(
+        tr_f._trainable(), accf, tr_f.backbone_stats,
+        jax.random.PRNGKey(7), m0["images"], m0["flip"],
+        m0["verbs"], m0["labels"], m0["valid"])
+    (tpf, tr_f.opt_state, accf, tr_f.backbone_stats, _,
+     _) = tr_f._grad_accum_final_ft(
+        tr_f._trainable(), tr_f.opt_state, accf, tr_f.backbone_stats,
+        jax.random.PRNGKey(7), m1["images"], m1["flip"],
+        m1["verbs"], m1["labels"], m1["valid"])
+    tr_f.head_params, tr_f.backbone_params = tpf["head"], tpf["backbone"]
+    assert _max_delta(tr_big.backbone_params, tr_f.backbone_params) < 1e-5
+    assert _max_delta(tr_big.head_params, tr_f.head_params) < 1e-5
+    # the returned accumulator is ZEROED for the next group
+    assert all(float(jnp.abs(x).max()) == 0.0
+               for x in jax.tree.leaves(accf))
+
 
 @pytest.mark.slow
 def test_ft_checkpoint_roundtrip_continues_trajectory(encoder, tmp_path):
